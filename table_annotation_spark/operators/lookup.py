@@ -1,0 +1,345 @@
+"""Stage 3 — candidates: fuzzy entity lookup as a blocked join.
+
+Replaces the reference's Elasticsearch round-trips
+(/root/reference/lookup/es_lookup.py:27-217) with a candidate-pair-generation
+join between the distinct mention set and ``kg_labels``:
+
+1. **Column classification** (C1/C2, annotation_models.py:159-225): entity vs
+   literal columns from preprocessing aggregates.
+2. **Mention dedupe** (L8, annotation_models.py:242-247): DISTINCT normalized
+   mentions — each distinct string is scored once globally.
+3. **Blocking join** (replaces ES fuzziness=AUTO retrieval, L3): char-trigram
+   keys on both sides (JVM-side `transform`+`explode`, no UDF) unioned with an
+   exact-norm fast path; label-side hot grams (df > max_gram_df) are dropped —
+   the exact path keeps head surface forms reachable, so hub labels like
+   "USA" cannot explode the gram join (explicit skew control; AQE skew-join
+   splitting handles residual imbalance).
+4. **Length band** (es_lookup.py:207-210): 0.25·len ≤ label_len ≤ 4·len.
+5. **Fuzzy re-score** (L5, es_lookup.py:123-174): Arrow pandas UDF over the
+   surviving pairs (mixed indel/token_sort/token_set + partial-exact bypass).
+6. **Adaptive threshold** (L6): fuzzy ≥ max(0.70, best−0.25) per mention.
+7. **Final score** (L7): 0.7·fuzzy·origin + 0.1·PR-term + 0.2·lexical. The ES
+   BM25 component is replaced by a deterministic IDF-weighted token-overlap
+   score (documented deviation; SURVEY §2.4 L7).
+8. **Top-K per mention** (K=20) via window.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructType
+
+from ..functions.similarity import is_partial_exact, mixed_fuzzy_score
+
+FUZZY_FACTOR = 0.7          # 1 - PR_FACTOR - LEX_FACTOR (settings.py:41,49)
+PR_FACTOR = 0.1
+LEX_FACTOR = 0.2
+ORIGIN_WEIGHTS = {"LABEL": 1.0, "MAIN_ALIAS": 0.94, "SUB_ALIAS": 0.88}
+MIN_FUZZY = 0.70            # settings.py:29
+ADAPTIVE_MARGIN = 0.25      # settings.py:30
+DEFAULT_K = 20
+
+CONCEPTY = ("UNKNOWN", "PERSON", "ORG", "GPE", "LOC", "EVENT", "FAC", "NORP",
+            "LAW", "PRODUCT", "WORK_OF_ART", "LANGUAGE")
+DATE_TYPES = ("DATE", "TIME")
+NUM_NOUNIT = ("CARDINAL", "PERCENT", "RANGE")
+NUM_UNIT = ("DISTANCE", "MASS", "MONEY", "DURATION", "SPEED", "TEMPERATURE",
+            "FREQUENCY", "DATA", "POWER", "VOLTAGE", "CURRENT", "AREA",
+            "VOLUME")
+
+
+# ------------------------------------------------------------ column classes
+def classify_columns(column_meta: DataFrame, body: DataFrame) -> DataFrame:
+    """C1/C2 → (table_id, col_idx, col_class) with col_class ∈
+    {entity, date, numeral_unit, numeral, textual, index}.
+
+    Entity columns: concept-typed score>0.5, <50% long cells (>150 chars),
+    <50% cells with >3 distinct punctuation marks (annotation_models.py:159-187).
+    """
+    stats = body.groupBy("table_id", "col_idx").agg(
+        F.avg((F.length("cell") > 150).cast("double")).alias("long_ratio"),
+        F.avg(
+            (
+                F.size(
+                    F.array_distinct(
+                        F.split(F.regexp_replace("cell", r"[\w\s]", ""), "")
+                    )
+                )
+                > 3
+            ).cast("double")
+        ).alias("punct_ratio"),
+    )
+    m = column_meta.join(stats, ["table_id", "col_idx"], "left").fillna(
+        {"long_ratio": 0.0, "punct_ratio": 0.0}
+    )
+    is_index = (F.col("col_type") == "ORDINAL") & (F.col("col_idx") == 0)
+    is_entity = (
+        F.col("col_type").isin(list(CONCEPTY))
+        & (F.col("col_type_score") > 0.5)
+        & (F.col("long_ratio") < 0.5)
+        & (F.col("punct_ratio") < 0.5)
+    )
+    cls = (
+        F.when(is_index, "index")
+        .when(is_entity, "entity")
+        .when(F.col("col_type").isin(list(DATE_TYPES)) & (F.col("col_type_score") > 0.5), "date")
+        .when(F.col("col_type").isin(list(NUM_UNIT)) & (F.col("col_type_score") > 0.5), "numeral_unit")
+        .when(F.col("col_type").isin(list(NUM_NOUNIT)) & (F.col("col_type_score") > 0.5), "numeral")
+        .otherwise("textual")
+    )
+    return m.select("table_id", "col_idx", cls.alias("col_class"))
+
+
+# ------------------------------------------------------------ mentions
+def norm_col(c):
+    """es_lookup.py:202-204 normalization, JVM-side."""
+    return F.lower(F.trim(F.regexp_replace(F.regexp_replace(c, '"', " "), r"\s+", " ")))
+
+
+def extract_mentions(body: DataFrame, col_classes: DataFrame) -> DataFrame:
+    """Cells of entity columns → (table_id, row_idx, col_idx, mention_norm);
+    mentions of length ≤1 dropped (annotation_models.py:242-247)."""
+    ent = col_classes.where(F.col("col_class") == "entity")
+    return (
+        body.join(ent, ["table_id", "col_idx"])
+        .withColumn("mention_norm", norm_col(F.col("cell")))
+        .where(F.length("mention_norm") > 1)
+        .select("table_id", "row_idx", "col_idx", "cell", "mention_norm")
+    )
+
+
+# ------------------------------------------------------------ blocking
+def _grams(col, n: int = 3):
+    """Char n-gram array, JVM-side; short strings fall back to the whole
+    string as a single key."""
+    return F.when(
+        F.length(col) < n, F.array(col)
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(col) - n + 1),
+                lambda i: col.substr(i, F.lit(n)),
+            )
+        )
+    )
+
+
+def _fuzzy_udf():
+    @F.pandas_udf(DoubleType())
+    def fuzzy(mention: pd.Series, label: pd.Series) -> pd.Series:
+        cache: dict[tuple[str, str], float] = {}
+        out = []
+        for m, lb in zip(mention, label):
+            key = (m, lb)
+            if key not in cache:
+                cache[key] = mixed_fuzzy_score(m or "", lb or "")
+            out.append(cache[key])
+        return pd.Series(out)
+
+    return fuzzy
+
+
+def _partial_exact_udf():
+    @F.pandas_udf("boolean")
+    def pexact(mention: pd.Series, label: pd.Series) -> pd.Series:
+        cache: dict[tuple[str, str], bool] = {}
+        out = []
+        for m, lb in zip(mention, label):
+            key = (m, lb)
+            if key not in cache:
+                cache[key] = is_partial_exact(m or "", lb or "")
+            out.append(cache[key])
+        return pd.Series(out)
+
+    return pexact
+
+
+def token_idf(labels: DataFrame) -> DataFrame:
+    """(token, idf) from kg_labels — the deterministic BM25 stand-in corpus
+    statistic. Computed once per KG build, broadcast at use."""
+    toks = labels.select(
+        F.explode(F.split(F.col("label_norm"), r"\s+")).alias("token")
+    ).where(F.length("token") > 0)
+    n_docs = labels.count()
+    return toks.groupBy("token").agg(
+        F.log2(F.lit(float(n_docs + 1)) / (F.count(F.lit(1)) + 1)).alias("idf")
+    )
+
+
+def candidate_pairs(
+    mentions_distinct: DataFrame,
+    labels: DataFrame,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Blocked candidate pairs (mention_norm × entity/label rows), deduped.
+
+    Two paths unioned: exact label_norm equality (covers hot labels even when
+    their grams are dropped) and trigram-key equality with the length band.
+    """
+    m = mentions_distinct.select("mention_norm").distinct()
+    m_len = m.withColumn("m_len", F.length("mention_norm"))
+
+    exact = m_len.join(labels, m_len["mention_norm"] == labels["label_norm"]).select(
+        "mention_norm", "m_len", "entity", "label", "label_norm", "length", "origin", "pr"
+    )
+
+    mg = m_len.select(
+        "mention_norm", "m_len", F.explode(_grams(F.col("mention_norm"))).alias("gram")
+    )
+    lg = labels.select(
+        "entity", "label", "label_norm", "length", "origin", "pr",
+        F.explode(_grams(F.col("label_norm"))).alias("gram"),
+    )
+    if max_gram_df is not None:
+        hot = (
+            lg.groupBy("gram")
+            .count()
+            .where(F.col("count") > max_gram_df)
+            .select("gram")
+        )
+        lg = lg.join(F.broadcast(hot), "gram", "left_anti")
+    grammed = (
+        mg.join(lg, "gram")
+        .drop("gram")
+        .where(
+            (F.col("length") >= 0.25 * F.col("m_len"))
+            & (F.col("length") <= 4 * F.col("m_len"))
+        )
+        .select(
+            "mention_norm", "m_len", "entity", "label", "label_norm", "length",
+            "origin", "pr",
+        )
+    )
+    return exact.unionByName(grammed).distinct()
+
+
+def score_candidates(
+    pairs: DataFrame,
+    idf: DataFrame,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Fuzzy re-score → adaptive threshold → origin factor → per-entity max →
+    final L7 score → top-K. Returns (mention_norm, entity, best_label, score)."""
+    fuzzy = _fuzzy_udf()
+    pexact = _partial_exact_udf()
+
+    scored = pairs.withColumn("fuzzy", fuzzy("mention_norm", "label_norm")).withColumn(
+        "pexact", pexact("mention_norm", "label_norm")
+    )
+
+    w_mention = Window.partitionBy("mention_norm")
+    scored = scored.withColumn("max_fuzzy", F.max("fuzzy").over(w_mention)).where(
+        (
+            F.col("fuzzy")
+            >= F.greatest(F.lit(MIN_FUZZY), F.col("max_fuzzy") - ADAPTIVE_MARGIN)
+        )
+        | F.col("pexact")
+    )
+
+    origin_w = (
+        F.when(F.col("origin") == "MAIN_ALIAS", ORIGIN_WEIGHTS["MAIN_ALIAS"])
+        .when(F.col("origin") == "SUB_ALIAS", ORIGIN_WEIGHTS["SUB_ALIAS"])
+        .otherwise(ORIGIN_WEIGHTS["LABEL"])
+    )
+    scored = scored.withColumn("fuzzy_w", F.col("fuzzy") * origin_w)
+
+    # lexical (BM25 stand-in): IDF-weighted token overlap, per-mention max-normalized
+    m_tok = scored.select("mention_norm", "entity", "label_norm").withColumn(
+        "token", F.explode(F.split("label_norm", r"\s+"))
+    )
+    mention_tok = m_tok.withColumn(
+        "m_tokens", F.split("mention_norm", r"\s+")
+    ).where(F.array_contains(F.col("m_tokens"), F.col("token")))
+    lex = (
+        mention_tok.join(F.broadcast(idf), "token", "left")
+        .fillna({"idf": 0.0})
+        .groupBy("mention_norm", "entity", "label_norm")
+        .agg(F.sum("idf").alias("lex_raw"))
+    )
+    scored = scored.join(lex, ["mention_norm", "entity", "label_norm"], "left").fillna(
+        {"lex_raw": 0.0}
+    )
+
+    # per-entity max over its labels (es_lookup.py:148-152): keep best label
+    per_entity = scored.groupBy("mention_norm", "entity").agg(
+        F.max(F.struct("fuzzy_w", "lex_raw", "pr", "label")).alias("best")
+    ).select(
+        "mention_norm",
+        "entity",
+        F.col("best.fuzzy_w").alias("fuzzy_w"),
+        F.col("best.lex_raw").alias("lex_raw"),
+        F.col("best.pr").alias("pr"),
+        F.col("best.label").alias("best_label"),
+    )
+
+    w = Window.partitionBy("mention_norm")
+    final = (
+        per_entity.withColumn("max_pr", F.max("pr").over(w))
+        .withColumn("max_lex", F.max("lex_raw").over(w))
+        .withColumn(
+            "score",
+            FUZZY_FACTOR * F.col("fuzzy_w")
+            + PR_FACTOR
+            * F.log2(F.col("pr") + 1.0)
+            / F.log2(F.greatest(F.col("max_pr"), F.lit(1e-9)) + 1.0)
+            + LEX_FACTOR
+            * F.when(F.col("max_lex") > 0, F.col("lex_raw") / F.col("max_lex")).otherwise(0.0),
+        )
+    )
+    w_rank = Window.partitionBy("mention_norm").orderBy(
+        F.desc("score"), F.asc("entity")
+    )
+    return (
+        final.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select("mention_norm", "entity", "best_label", "score")
+    )
+
+
+def lookup(
+    body: DataFrame,
+    col_classes: DataFrame,
+    labels: DataFrame,
+    idf: DataFrame,
+    k: int = DEFAULT_K,
+    max_gram_df: int | None = None,
+    min_coverage: float = 0.3,
+) -> tuple[DataFrame, DataFrame]:
+    """Full stage: returns (candidates, kept_entity_cols).
+
+    candidates: (table_id, row_idx, col_idx, mention_norm, entity, best_label,
+    score) — per-cell candidate set after the coverage demotion rule
+    (annotation_models.py:261-277; we apply it uniformly, NOT replicating the
+    reference's iterator-skip bug — documented deviation, SURVEY §3.1.d).
+    """
+    mentions = extract_mentions(body, col_classes)
+    distinct_mentions = mentions.select("mention_norm").distinct()
+    pairs = candidate_pairs(distinct_mentions, labels, max_gram_df=max_gram_df)
+    cand = score_candidates(pairs, idf, k=k)
+
+    per_cell = mentions.join(cand, "mention_norm", "left")
+
+    # coverage per entity column: fraction of distinct mentions with ≥1 candidate
+    cov = (
+        per_cell.groupBy("table_id", "col_idx", "mention_norm")
+        .agg(F.max(F.col("entity").isNotNull()).alias("has_cand"))
+        .groupBy("table_id", "col_idx")
+        .agg(F.avg(F.col("has_cand").cast("double")).alias("coverage"))
+    )
+    kept = cov.where(F.col("coverage") >= min_coverage).select(
+        "table_id", "col_idx", "coverage"
+    )
+    candidates = (
+        per_cell.join(kept.select("table_id", "col_idx"), ["table_id", "col_idx"])
+        .where(F.col("entity").isNotNull())
+        .select(
+            "table_id", "row_idx", "col_idx", "mention_norm", "entity",
+            "best_label", "score",
+        )
+    )
+    return candidates, kept
