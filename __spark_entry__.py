@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship — the full KG-construction pipeline (extract →
+  preprocess → lookup → 4-pass CEA/CTA/CPA → canonicalized triples) over a
+  deterministic source-repo table synthesized from sf0.001 testdata.
+- ``queries()``: one entry per implemented operator family (SURVEY.md §2 +
+  training-data ops); each callable takes (spark, sf_dir) → DataFrame.
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (identical arithmetic).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
+from table_annotation_spark.operators import dedup as _dedup
+from table_annotation_spark.operators import relational as _rel
+from table_annotation_spark.operators import similarity as _sim
+from table_annotation_spark.operators import text as _text
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: run the end-to-end table-annotation KG pipeline on a
+    source-repo table synthesized deterministically from sf0.001 parquet
+    (nation/region rows embedded as CSV content) against a KG derived from
+    the same tables. Returns the canonicalized triples DataFrame."""
+    from table_annotation_spark.flagship import run_flagship
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    return run_flagship(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    q.update(_rel.QUERIES)
+    q.update(_text.QUERIES)
+    q.update(_dedup.QUERIES)
+    q.update(_sim.QUERIES)
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o.update(_rel.ORACLES)
+    o.update(_text.ORACLES)
+    o.update(_dedup.ORACLES)
+    o.update(_sim.ORACLES)
+    return o

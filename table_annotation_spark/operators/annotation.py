@@ -1,0 +1,772 @@
+"""Stage 4 — annotate: CEA / CTA / CPA via the reference's exactly-4-pass
+dataflow, expressed entirely as DataFrame transformations.
+
+Pass structure (mirrors /root/reference/annotation/table_annotation.py:51-112):
+
+  pass 1: entity_scores¹ = 0.1·sim (context weights not yet known)
+          CEA¹ (all candidates) → CPA¹ (voting, all pairs)
+  pass 2: soft re-weighting (C10) + entity_scores² (CPA-scaled context)
+          CEA² (all) → CTA² (all)
+  pass 3: CEA³ (only_one, CTA²-boosted) → CTA³ (only_one) → CPA³ (from CEA³)
+  pass 4: literal-context restriction (C10 onlyLiteralContext) +
+          entity_scores³ (last_step: contextless cells, potential candidates)
+          CEA⁴ → CTA⁴ → CPA⁴ (all only_one)
+
+Every reference memo-dict is a join; every voting counter is a groupBy; every
+ranking is a window. Where the reference breaks ties by dict/stable-sort
+order we add deterministic tie-breaks (entity/rel ascending) — documented
+deviation, SURVEY §3.1.
+
+Scale notes: all intermediates are keyed by (table_id, …) and the KG-side
+inputs arrive pre-deduped from annotation_context (global distinct pairs /
+entities). No driver-side loops; the 4 passes are a fixed-depth DAG,
+checkpointable between passes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import annotation_context as ctx
+
+SEMANTIC_W = 1.0   # annotation_models.py:110
+LITERAL_W = 0.3    # annotation_models.py:111
+CTA_LEVEL_W = {1: 1.0, 2: 0.7, 3: 0.2}  # annotation_models.py:151
+
+
+# --------------------------------------------------------------------- inputs
+@dataclass
+class AnnotInputs:
+    cand: DataFrame        # (table_id,row_idx,col_idx,cell,entity,sim)
+    ecols: DataFrame       # (table_id,col_idx)
+    lcols: DataFrame       # (table_id,col_idx,lit_class)
+    tbl: DataFrame         # (table_id,n_cols,n_data_rows)
+    ecol_pairs: DataFrame  # (table_id,head_col,tail_col) entity-entity, head<tail
+    el_pairs: DataFrame    # (table_id,head_col,tail_col) entity-literal, tail>head
+    row_pairs: DataFrame   # per-row candidate pairs with gated ctx scores
+    pair_rel: DataFrame    # (head_ent,tail_ent,rel,prox) all co-occurring pairs
+    cached_rel: DataFrame  # pair_rel restricted to reliably-connected pairs
+    lit_cpa: DataFrame     # (entity,lit_cell,pid) literal CPA cache
+    lit_cells: DataFrame   # (table_id,row_idx,lit_col,lit_cell)
+    ctx_entries: DataFrame # (t,r,c,entity,ctx_col,ctx_kind,score)
+    ctx_rels: DataFrame    # (t,r,c,entity,ctx_col,rel)
+    types: DataFrame       # (entity,type,level,rank)
+    super_t: DataFrame     # (type,supertype)
+    ent_pids: DataFrame    # (entity,pid)
+    edges: DataFrame
+
+
+def build_inputs(
+    cand: DataFrame,
+    body: DataFrame,
+    col_classes: DataFrame,
+    edges: DataFrame,
+    degrees: DataFrame,
+    multihop: bool = True,
+) -> AnnotInputs:
+    """Assemble all pass-invariant inputs (the scale-heavy KG joins)."""
+    cand = cand.select(
+        "table_id", "row_idx", "col_idx", "cell", "entity",
+        F.col("score").alias("sim"),
+    )
+    ecols = col_classes.where(F.col("col_class") == "entity").select(
+        "table_id", "col_idx"
+    )
+    lcols = col_classes.where(
+        F.col("col_class").isin("date", "numeral_unit", "numeral", "textual")
+    ).select("table_id", "col_idx", F.col("col_class").alias("lit_class"))
+
+    e1 = ecols.select("table_id", F.col("col_idx").alias("head_col"))
+    e2 = ecols.select("table_id", F.col("col_idx").alias("tail_col"))
+    ecol_pairs = e1.join(e2, "table_id").where(F.col("head_col") < F.col("tail_col"))
+    el_pairs = (
+        ecols.select("table_id", F.col("col_idx").alias("head_col"))
+        .join(lcols.select("table_id", F.col("col_idx").alias("tail_col")), "table_id")
+        .where(F.col("tail_col") > F.col("head_col"))
+    )
+
+    tbl = body.groupBy("table_id").agg(
+        (F.max("col_idx") + 1).alias("n_cols"),
+        F.countDistinct("row_idx").alias("n_data_rows"),
+    )
+
+    pair_rel = _mat(ctx.pair_relations(cand, ecol_pairs, edges, degrees, multihop))
+
+    # per-row candidate pairs with context gates (C6, annotation_models.py:536-556)
+    h = cand.select(
+        "table_id", "row_idx", F.col("col_idx").alias("head_col"),
+        F.col("entity").alias("head_ent"), F.col("sim").alias("head_sim"),
+        F.length("cell").alias("head_len"),
+    )
+    t = cand.select(
+        "table_id", "row_idx", F.col("col_idx").alias("tail_col"),
+        F.col("entity").alias("tail_ent"), F.col("sim").alias("tail_sim"),
+        F.length("cell").alias("tail_len"),
+    )
+    best = pair_rel.groupBy("head_ent", "tail_ent").agg(F.max("prox").alias("best_prox"))
+    rp = (
+        h.join(t, ["table_id", "row_idx"])
+        .join(ecol_pairs, ["table_id", "head_col", "tail_col"])
+        .where(F.col("head_ent") != F.col("tail_ent"))
+        .join(best, ["head_ent", "tail_ent"], "left")
+    )
+    thr_tail = F.when(F.col("tail_len") > 5, 0.7).otherwise(0.9)
+    thr_head = F.when(F.col("head_len") > 5, 0.7).otherwise(0.9)
+    head_score = F.when(
+        F.col("best_prox").isNotNull() & (F.col("tail_sim") >= thr_tail),
+        F.greatest(F.lit(0.1), F.col("best_prox") * F.col("tail_sim")),
+    ).otherwise(0.1)
+    tail_score = F.when(
+        F.col("best_prox").isNotNull() & (F.col("head_sim") >= thr_head),
+        F.greatest(F.lit(0.1), F.col("best_prox") * F.col("head_sim")),
+    ).otherwise(0.1)
+    row_pairs = rp.withColumn("head_score", head_score).withColumn(
+        "tail_score", tail_score
+    ).withColumn(
+        "reliable", (F.col("head_score") > 0.1) | (F.col("tail_score") > 0.1)
+    )
+    row_pairs = _mat(row_pairs)
+
+    cached_pairs = (
+        row_pairs.where("reliable").select("head_ent", "tail_ent").distinct()
+    )
+    cached_rel = pair_rel.join(cached_pairs, ["head_ent", "tail_ent"])
+
+    lit_match = _mat(ctx.literal_matches(cand, body, col_classes, edges))
+    lit_cpa = lit_match.select("entity", "lit_cell", "pid").distinct()
+    lit_cells = (
+        body.withColumnRenamed("cell", "lit_cell")
+        .join(lcols.select("table_id", "col_idx"), ["table_id", "col_idx"])
+        .select("table_id", "row_idx", F.col("col_idx").alias("lit_col"), "lit_cell")
+    )
+
+    # context entries: domain = candidate × other entity cols ∪ literal cols ≥ col
+    dom_e = cand.join(
+        ecols.withColumnRenamed("col_idx", "ctx_col"), "table_id"
+    ).where(F.col("ctx_col") != F.col("col_idx"))
+    head_side = row_pairs.select(
+        "table_id", "row_idx", F.col("head_col").alias("col_idx"),
+        F.col("head_ent").alias("entity"), F.col("tail_col").alias("ctx_col"),
+        F.col("head_score").alias("s"),
+    )
+    tail_side = row_pairs.select(
+        "table_id", "row_idx", F.col("tail_col").alias("col_idx"),
+        F.col("tail_ent").alias("entity"), F.col("head_col").alias("ctx_col"),
+        F.col("tail_score").alias("s"),
+    )
+    scores_e = (
+        head_side.unionByName(tail_side)
+        .groupBy("table_id", "row_idx", "col_idx", "entity", "ctx_col")
+        .agg(F.max("s").alias("s"))
+    )
+    ctx_e = (
+        dom_e.join(scores_e, ["table_id", "row_idx", "col_idx", "entity", "ctx_col"], "left")
+        .select(
+            "table_id", "row_idx", "col_idx", "entity", "ctx_col",
+            F.lit("entity").alias("ctx_kind"),
+            F.coalesce("s", F.lit(0.1)).alias("score"),
+        )
+    )
+    dom_l = cand.join(
+        lcols.select("table_id", F.col("col_idx").alias("ctx_col")), "table_id"
+    ).where(F.col("ctx_col") >= F.col("col_idx"))
+    scores_l = lit_match.groupBy(
+        "table_id", "row_idx", "col_idx", "entity", F.col("lit_col").alias("ctx_col")
+    ).agg(F.max("match_score").alias("s"))
+    ctx_l = (
+        dom_l.join(scores_l, ["table_id", "row_idx", "col_idx", "entity", "ctx_col"], "left")
+        .select(
+            "table_id", "row_idx", "col_idx", "entity", "ctx_col",
+            F.lit("literal").alias("ctx_kind"),
+            F.coalesce("s", F.lit(0.1)).alias("score"),
+        )
+    )
+    ctx_entries = _mat(ctx_e.unionByName(ctx_l))
+
+    rels_h = (
+        row_pairs.where("reliable")
+        .join(pair_rel, ["head_ent", "tail_ent"])
+        .select(
+            "table_id", "row_idx", F.col("head_col").alias("col_idx"),
+            F.col("head_ent").alias("entity"), F.col("tail_col").alias("ctx_col"),
+            "rel",
+        )
+    )
+    rels_t = (
+        row_pairs.where("reliable")
+        .join(pair_rel, ["head_ent", "tail_ent"])
+        .select(
+            "table_id", "row_idx", F.col("tail_col").alias("col_idx"),
+            F.col("tail_ent").alias("entity"), F.col("head_col").alias("ctx_col"),
+            "rel",
+        )
+    )
+    rels_l = lit_match.select(
+        "table_id", "row_idx", "col_idx", "entity",
+        F.col("lit_col").alias("ctx_col"), F.col("pid").alias("rel"),
+    )
+    ctx_rels = _mat(rels_h.unionByName(rels_t).unionByName(rels_l).distinct())
+
+    ents = cand.select("entity").distinct()
+    types = _mat(ctx.entity_types(ents, edges))
+    super_t = ctx.supertypes(types, edges)
+    ent_pids = ctx.entity_pids(ents, edges)
+
+    return AnnotInputs(
+        cand=cand, ecols=ecols, lcols=lcols, tbl=tbl,
+        ecol_pairs=ecol_pairs, el_pairs=el_pairs, row_pairs=row_pairs,
+        pair_rel=pair_rel, cached_rel=cached_rel, lit_cpa=lit_cpa,
+        lit_cells=lit_cells, ctx_entries=ctx_entries, ctx_rels=ctx_rels,
+        types=types, super_t=super_t, ent_pids=ent_pids, edges=edges,
+    )
+
+
+# --------------------------------------------------------------------- scores
+def entity_scores_pass1(inp: AnnotInputs) -> DataFrame:
+    """entity_scoring_task(first_step=True) BEFORE any CPA exists: with >1
+    column the context loop contributes nothing (cpa_annot empty) →
+    score = 0.1·sim; single-column tables → sim
+    (annotation_models.py:782-798)."""
+    return inp.cand.join(inp.tbl, "table_id").select(
+        "table_id", "row_idx", "col_idx", "entity", "sim",
+        F.when(F.col("n_cols") > 1, 0.1 * F.col("sim"))
+        .otherwise(F.col("sim"))
+        .alias("score"),
+    )
+
+
+def _orient_pairs(inp: AnnotInputs):
+    """Column-pair orientation for a (candidate col c, context col o) entry:
+    (o,c) when o<c and o is an entity col, else (c,o)
+    (annotation_models.py:725-728)."""
+    is_entity_ctx = F.col("ctx_kind") == "entity"
+    head = F.when(is_entity_ctx & (F.col("ctx_col") < F.col("col_idx")), F.col("ctx_col")).otherwise(F.col("col_idx"))
+    tail = F.when(is_entity_ctx & (F.col("ctx_col") < F.col("col_idx")), F.col("col_idx")).otherwise(F.col("ctx_col"))
+    return head.alias("head_col"), tail.alias("tail_col")
+
+
+def update_context_weights(inp: AnnotInputs, cpa: DataFrame) -> DataFrame:
+    """C10 soft re-weighting (annotation_models.py:352-379): per ctx entry,
+    weight = max(floor, base·coverage·proximity·df) from the TOP CPA of the
+    oriented pair; floor 0.05 (entity ctx) / 0.01 (literal ctx). Returns
+    ctx_entries + (head_col, tail_col, weight)."""
+    hc, tc = _orient_pairs(inp)
+    entries = inp.ctx_entries.select("*", hc, tc)
+    top_cpa = cpa.where(F.col("rank") == 1).select(
+        "table_id", "head_col", "tail_col",
+        F.col("coverage").alias("cpa_cov"), F.col("prox").alias("cpa_prox"),
+    )
+    min_ecol = inp.ecols.groupBy("table_id").agg(F.min("col_idx").alias("min_ecol"))
+    e = entries.join(top_cpa, ["table_id", "head_col", "tail_col"], "left").join(
+        F.broadcast(min_ecol), "table_id"
+    )
+    df_col = 1.0 / (
+        1.0
+        + 4.0
+        * F.least(
+            F.abs(F.col("ctx_col") - F.col("min_ecol")),
+            F.abs(F.col("col_idx") - F.col("min_ecol")),
+        )
+    )
+    base = F.when(F.col("ctx_kind") == "entity", SEMANTIC_W).otherwise(LITERAL_W)
+    floor = F.when(F.col("ctx_kind") == "entity", 0.05).otherwise(0.01)
+    weight = F.when(
+        F.col("cpa_cov").isNotNull(),
+        F.greatest(floor, base * F.col("cpa_cov") * F.col("cpa_prox") * df_col),
+    ).otherwise(floor)
+    return e.withColumn("weight", weight).drop("min_ecol")
+
+
+def entity_scores_soft(
+    inp: AnnotInputs,
+    weighted_entries: DataFrame,
+    cpa: DataFrame,
+    unrelated_pairs: DataFrame | None = None,
+    last_step: bool = False,
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
+    """entity_scoring_task(first_step=False) (annotation_models.py:714-798).
+
+    Only ctx entries whose oriented pair IS in cpa_annot (and not unrelated)
+    participate. scale = (coverage·proximity) of the lowest-ranked CPA of the
+    pair whose id appears in the entry's relation set, else 0.
+    scaled = max(0.1, scale·score); numerator Σ weight·scaled, denominator
+    Σ base_weight; final = ctx̄·σ(sim) when max weight>0.1 else 0.1·sim.
+
+    Returns (scores, contextless, potential) — the latter two only when
+    last_step (loop 4, annotation_models.py:743-765)."""
+    e = weighted_entries
+    if unrelated_pairs is not None:
+        e = e.join(
+            unrelated_pairs, ["table_id", "head_col", "tail_col"], "left_anti"
+        )
+    cpa_k = cpa.select(
+        "table_id", "head_col", "tail_col", "rel", "coverage", "prox", "rank"
+    )
+    considered = e.join(
+        cpa_k.select("table_id", "head_col", "tail_col").distinct(),
+        ["table_id", "head_col", "tail_col"],
+    )
+
+    key = ["table_id", "row_idx", "col_idx", "entity", "ctx_col"]
+    # scale factor: first (lowest-rank) CPA of the pair present in entry rels
+    rel_match = (
+        considered.select(*key, "head_col", "tail_col")
+        .join(inp.ctx_rels.withColumnRenamed("rel", "ctx_rel"), key)
+        .join(cpa_k, ["table_id", "head_col", "tail_col"])
+        .where(F.col("rel") == F.col("ctx_rel"))
+        .groupBy(*key)
+        .agg(F.min(F.struct("rank", "coverage", "prox")).alias("m"))
+        .select(*key, (F.col("m.coverage") * F.col("m.prox")).alias("scale"))
+    )
+    scored = considered.join(rel_match, key, "left").withColumn(
+        "scaled",
+        F.greatest(F.lit(0.1), F.coalesce("scale", F.lit(0.0)) * F.col("score")),
+    )
+    base = F.when(F.col("ctx_kind") == "entity", SEMANTIC_W).otherwise(LITERAL_W)
+    agg = scored.groupBy("table_id", "row_idx", "col_idx", "entity").agg(
+        F.sum(F.col("weight") * F.col("scaled")).alias("num"),
+        F.sum(base).alias("den"),
+        F.max("weight").alias("max_w"),
+    )
+    cand_key = ["table_id", "row_idx", "col_idx", "entity"]
+    s = inp.cand.join(agg, cand_key, "left").join(inp.tbl, "table_id")
+    ctx_score = F.when(
+        F.col("den").isNotNull() & (F.col("den") > 0), F.col("num") / F.col("den")
+    ).otherwise(0.01)
+    logistic = 1.0 / (
+        1.0 + F.exp(-(F.pow(F.col("sim"), 2.5) / 0.5 - 1.0) / 0.2)
+    )
+    final = F.when(F.col("n_cols") <= 1, F.col("sim")).when(
+        F.coalesce("max_w", F.lit(0.0)) > 0.1, ctx_score * logistic
+    ).otherwise(0.1 * F.col("sim"))
+    scores = s.select(*cand_key, "sim", final.alias("score"))
+
+    if not last_step:
+        return scores, None, None
+
+    # contextless cells: max scaled per CELL; cells with no considered entries → 0.1
+    ctxless = (
+        inp.cand.select("table_id", "row_idx", "col_idx")
+        .distinct()
+        .join(
+            scored.groupBy("table_id", "row_idx", "col_idx").agg(
+                F.max("scaled").alias("ctxless")
+            ),
+            ["table_id", "row_idx", "col_idx"],
+            "left",
+        )
+        .fillna({"ctxless": 0.1})
+    )
+
+    # potential candidates: candidate has a (direction-adjusted) CPA pid in its
+    # pid set (annotation_models.py:750-765); composite "::" ids never match
+    cand_pairs = considered.select(
+        *cand_key, "ctx_col", "ctx_kind", "head_col", "tail_col"
+    ).distinct()
+    pc = cand_pairs.join(cpa_k, ["table_id", "head_col", "tail_col"]).where(
+        ~F.col("rel").contains("::")
+    )
+    is_tail = (F.col("ctx_kind") == "entity") & (F.col("ctx_col") < F.col("col_idx"))
+    adjusted = F.when(
+        is_tail & F.col("rel").startswith("(-)"), F.expr("substring(rel, 4)")
+    ).when(is_tail, F.concat(F.lit("(-)"), F.col("rel"))).otherwise(F.col("rel"))
+    pc = pc.withColumn("need_pid", adjusted)
+    matched = pc.join(
+        inp.ent_pids,
+        (pc["entity"] == inp.ent_pids["entity"]) & (pc["need_pid"] == inp.ent_pids["pid"]),
+    ).select(pc["table_id"], pc["row_idx"], pc["col_idx"], pc["entity"],
+             "coverage", "rel")
+    potential = matched.groupBy(*cand_key).agg(
+        F.max("coverage").alias("cpa_coeff"),
+        F.count(F.lit(1)).alias("n_potential"),
+    )
+    return scores, ctxless, potential
+
+
+# --------------------------------------------------------------------- CEA
+def cea_task(
+    inp: AnnotInputs,
+    scores: DataFrame,
+    cta: DataFrame | None = None,
+    only_one: bool = True,
+    contextless: DataFrame | None = None,
+    potential: DataFrame | None = None,
+) -> DataFrame:
+    """C12 (annotation_models.py:904-1031). Returns per-cell kept candidates:
+    (table_id,row_idx,col_idx,entity,score,rank)."""
+    cand_key = ["table_id", "row_idx", "col_idx", "entity"]
+    s = scores
+    if cta is not None:
+        # per (column, candidate): best level-weighted CTA match
+        cta_c = cta.select(
+            "table_id", F.col("col_idx"), F.col("type").alias("cta_type"),
+            F.col("score").alias("cta_score"), F.col("coverage").alias("cta_cov"),
+        )
+        # candidate's own 3-level types
+        cmatch = (
+            s.select(*cand_key)
+            .join(cta_c, ["table_id", "col_idx"])
+        )
+        own = inp.types.select(
+            F.col("entity"), F.col("type").alias("cta_type"),
+            F.col("level").alias("own_level"),
+        )
+        direct = cmatch.join(own, ["entity", "cta_type"], "left")
+        # neighbor credit: cta_type neighbors ∩ candidate level-1/2 types
+        tn = ctx.type_neighbors(
+            cta_c.select(F.col("cta_type").alias("type")), inp.edges
+        ).select(F.col("type").alias("cta_type"), "neighbor")
+        nb = (
+            cmatch.join(tn, "cta_type")
+            .join(
+                inp.types.where(F.col("level").isin(1, 2)).select(
+                    "entity", F.col("type").alias("neighbor"),
+                    F.col("level").alias("nb_level"),
+                ),
+                ["entity", "neighbor"],
+            )
+            .groupBy(*cand_key, "cta_type")
+            .agg(F.min("nb_level").alias("nb_level"))
+        )
+        j = direct.join(nb, cand_key + ["cta_type"], "left")
+        eff_level = (
+            F.when(F.col("own_level") == 1, 1)
+            .when((F.col("own_level") == 2) | (F.col("nb_level") == 1), 2)
+            .when((F.col("own_level") == 3) | (F.col("nb_level") == 2), 3)
+        )
+        lvl_w = (
+            F.when(eff_level == 1, CTA_LEVEL_W[1])
+            .when(eff_level == 2, CTA_LEVEL_W[2])
+            .when(eff_level == 3, CTA_LEVEL_W[3])
+            .otherwise(F.lit(None))
+        )
+        disamb = j.withColumn("d", lvl_w * F.col("cta_score")).groupBy(*cand_key).agg(
+            F.coalesce(F.max("d"), F.lit(0.0)).alias("cta_d")
+        )
+        cov_mean = cta_c.groupBy("table_id", "col_idx").agg(
+            F.avg("cta_cov").alias("cov_mean")
+        )
+        s = (
+            s.join(disamb, cand_key, "left")
+            .join(cov_mean, ["table_id", "col_idx"], "left")
+            .fillna({"cta_d": 0.0})
+        )
+        if contextless is not None:
+            s = s.join(contextless, ["table_id", "row_idx", "col_idx"], "left")
+            if potential is not None:
+                s = s.join(potential, cand_key, "left")
+            else:
+                s = s.withColumn("cpa_coeff", F.lit(None)).withColumn(
+                    "n_potential", F.lit(None)
+                )
+            is_ctxless = F.col("ctxless") <= 0.1
+            boosted = F.when(
+                is_ctxless & F.col("cpa_coeff").isNotNull(),
+                F.least(F.lit(1.0), F.col("score") * (1.0 + F.col("cpa_coeff"))),
+            ).otherwise(F.col("score"))
+            coeff = F.when(is_ctxless, F.col("cov_mean")).otherwise(
+                F.col("cov_mean") / 2.0
+            )
+            s = s.withColumn("score", boosted).withColumn("coeff", coeff)
+        else:
+            s = s.withColumn("coeff", F.col("cov_mean") / 2.0).withColumn(
+                "n_potential", F.lit(None)
+            )
+        s = s.withColumn(
+            "score",
+            F.when(
+                F.col("cov_mean").isNotNull(),
+                (F.col("score") + F.col("coeff") * F.col("cta_d"))
+                / (1.0 + F.col("coeff")),
+            ).otherwise(F.col("score")),
+        )
+    else:
+        s = s.withColumn("n_potential", F.lit(None))
+
+    w = Window.partitionBy("table_id", "row_idx", "col_idx").orderBy(
+        F.desc("score"),
+        F.desc(F.coalesce("n_potential", F.lit(0))),
+        F.desc("sim"),
+        F.asc("entity"),
+    )
+    w_max = Window.partitionBy("table_id", "row_idx", "col_idx")
+    ranked = s.withColumn("rank", F.row_number().over(w)).withColumn(
+        "max_score", F.max("score").over(w_max)
+    )
+    if only_one:
+        ranked = ranked.where(F.col("score") == F.col("max_score"))
+    return ranked.select(*cand_key, "sim", "score", "rank")
+
+
+# --------------------------------------------------------------------- CPA
+def cpa_task(
+    inp: AnnotInputs,
+    cea: DataFrame,
+    only_one: bool,
+    unrelated_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """C13 voting (annotation_models.py:1033-1131). Returns kept CPAs:
+    (table_id,head_col,tail_col,rel,score,coverage,prox,rank)."""
+    pairs = inp.ecol_pairs.withColumn("tail_kind", F.lit("entity")).unionByName(
+        inp.el_pairs.withColumn("tail_kind", F.lit("literal"))
+    )
+    if unrelated_pairs is not None:
+        pairs = pairs.join(
+            unrelated_pairs, ["table_id", "head_col", "tail_col"], "left_anti"
+        )
+
+    head = cea.select(
+        "table_id", "row_idx", F.col("col_idx").alias("head_col"),
+        F.col("entity").alias("head_ent"), F.col("score").alias("head_conf"),
+    )
+    tail_e = cea.select(
+        "table_id", "row_idx", F.col("col_idx").alias("tail_col"),
+        F.col("entity").alias("tail_ent"), F.col("score").alias("tail_conf"),
+    )
+
+    # entity-tail votes
+    je = (
+        pairs.where(F.col("tail_kind") == "entity")
+        .join(head, ["table_id", "head_col"])
+        .join(tail_e, ["table_id", "row_idx", "tail_col"])
+        .join(inp.cached_rel, ["head_ent", "tail_ent"])
+    )
+    ve = je.select(
+        "table_id", "head_col", "tail_col", "row_idx", "rel", "prox",
+        (F.col("prox") * F.greatest("head_conf", "tail_conf")).alias("pair_score"),
+    )
+
+    # literal-tail votes: tail "candidate" = raw mention with conf 0,
+    # relation from the literal CPA cache keyed (entity, mention)
+    jl = (
+        pairs.where(F.col("tail_kind") == "literal")
+        .join(head, ["table_id", "head_col"])
+        .join(
+            inp.lit_cpa.select(
+                F.col("entity").alias("head_ent"), "lit_cell",
+                F.col("pid").alias("rel"),
+            ),
+            "head_ent",
+        )
+        .join(
+            inp.lit_cells.select(
+                "table_id", "row_idx", F.col("lit_col").alias("tail_col"), "lit_cell"
+            ),
+            ["table_id", "row_idx", "tail_col", "lit_cell"],
+        )
+    )
+    vl = jl.select(
+        "table_id", "head_col", "tail_col", "row_idx", "rel",
+        F.lit(1.0).alias("prox"),
+        (1.0 * F.greatest(F.col("head_conf"), F.lit(0.0))).alias("pair_score"),
+    )
+
+    votes = ve.unionByName(vl)
+    per_row = votes.groupBy(
+        "table_id", "head_col", "tail_col", "row_idx", "rel"
+    ).agg(F.max("pair_score").alias("row_score"), F.min("prox").alias("row_prox"))
+    agg = per_row.groupBy("table_id", "head_col", "tail_col", "rel").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("row_score").alias("total"),
+        F.min("row_prox").alias("prox"),
+    )
+    w = Window.partitionBy("table_id", "head_col", "tail_col").orderBy(
+        F.desc(F.col("cnt") * F.col("total")),
+        F.desc("cnt"),
+        F.desc("prox"),
+        F.desc((~F.col("rel").contains("::")).cast("int")),
+        F.desc((~F.col("rel").contains("(-)")).cast("int")),
+        F.asc("rel"),
+    )
+    wp = Window.partitionBy("table_id", "head_col", "tail_col")
+    # thresholds come from the TOP-ranked entry (reference threshold =
+    # sorted[0], annotation_models.py:1108-1130), not from column-wide maxima
+    ranked = (
+        agg.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "top_ct",
+            F.max(F.when(F.col("rank") == 1, F.col("cnt") * F.col("total"))).over(wp),
+        )
+        .withColumn("top_cnt", F.max(F.when(F.col("rank") == 1, F.col("cnt"))).over(wp))
+    )
+    if only_one:
+        kept = ranked.where(F.col("cnt") * F.col("total") >= F.col("top_ct"))
+    else:
+        kept = ranked.where(F.col("cnt") >= F.col("top_cnt"))
+    return kept.join(inp.tbl, "table_id").select(
+        "table_id", "head_col", "tail_col", "rel",
+        (F.col("total") / F.col("n_data_rows")).alias("score"),
+        (F.col("cnt") / F.col("n_data_rows")).alias("coverage"),
+        "prox", "rank",
+    )
+
+
+# --------------------------------------------------------------------- CTA
+def cta_task(inp: AnnotInputs, cea: DataFrame, only_one: bool) -> DataFrame:
+    """C11 voting (annotation_models.py:800-902). Returns kept CTAs:
+    (table_id,col_idx,type,score,coverage,rank)."""
+    types = inp.types.select(
+        "entity", "type", "level", F.col("rank").alias("type_rank")
+    )
+    j = cea.select(
+        "table_id", "row_idx", "col_idx", "entity", "score"
+    ).join(types, "entity")
+    lvl_w = (
+        F.when(F.col("level") == 1, CTA_LEVEL_W[1])
+        .when(F.col("level") == 2, CTA_LEVEL_W[2])
+        .otherwise(CTA_LEVEL_W[3])
+    )
+    per_row = j.groupBy("table_id", "col_idx", "row_idx", "type").agg(
+        F.max(lvl_w * F.col("score")).alias("row_score"),
+        F.max("type_rank").alias("row_rank"),
+    )
+    agg = per_row.groupBy("table_id", "col_idx", "type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("row_score").alias("total"),
+        F.sum("row_rank").alias("total_ranks"),
+    )
+    w = Window.partitionBy("table_id", "col_idx").orderBy(
+        F.desc(F.col("cnt") * F.col("total")), F.desc("total_ranks"), F.asc("type")
+    )
+    wp = Window.partitionBy("table_id", "col_idx")
+    # thresholds from the TOP-ranked entry (annotation_models.py:869-898)
+    ranked = (
+        agg.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "top_ct",
+            F.max(F.when(F.col("rank") == 1, F.col("cnt") * F.col("total"))).over(wp),
+        )
+        .withColumn("top_cnt", F.max(F.when(F.col("rank") == 1, F.col("cnt"))).over(wp))
+    )
+    if only_one:
+        top = ranked.where(F.col("cnt") * F.col("total") >= F.col("top_ct"))
+        sups = (
+            top.join(inp.super_t, "type")
+            .select("table_id", "col_idx", F.col("supertype").alias("type"))
+            .distinct()
+        )
+        extra = ranked.join(sups, ["table_id", "col_idx", "type"]).join(
+            top.select("table_id", "col_idx", "type"),
+            ["table_id", "col_idx", "type"],
+            "left_anti",
+        )
+        kept = top.unionByName(extra)
+    else:
+        kept = ranked.where(F.col("cnt") >= F.col("top_cnt"))
+    return kept.join(inp.tbl, "table_id").select(
+        "table_id", "col_idx", "type",
+        (F.col("total") / F.col("n_data_rows")).alias("score"),
+        (F.col("cnt") / F.col("n_data_rows")).alias("coverage"),
+        "rank",
+    )
+
+
+# --------------------------------------------------------------------- loop 4
+def literal_context_restriction(inp: AnnotInputs, cpa: DataFrame) -> DataFrame:
+    """C10 onlyLiteralContext (annotation_models.py:380-395): per literal col
+    keep only the entity col whose TOP CPA has the best coverage (ties → the
+    lowest entity col, matching the reference's strict-> scan); every other
+    (entity, literal) pair becomes unrelated. Returns unrelated pairs."""
+    top = cpa.where(F.col("rank") == 1).select(
+        "table_id", "head_col", "tail_col", "coverage"
+    )
+    lit_pairs = inp.el_pairs
+    j = lit_pairs.join(top, ["table_id", "head_col", "tail_col"], "left").fillna(
+        {"coverage": -1.0}
+    )
+    w = Window.partitionBy("table_id", "tail_col").orderBy(
+        F.desc("coverage"), F.asc("head_col")
+    )
+    ranked = j.withColumn("r", F.row_number().over(w))
+    # match_column exists only when some coverage > 0
+    keep = ranked.where((F.col("r") == 1) & (F.col("coverage") > 0))
+    return lit_pairs.join(
+        keep.select("table_id", "head_col", "tail_col"),
+        ["table_id", "head_col", "tail_col"],
+        "left_anti",
+    )
+
+
+# --------------------------------------------------------------------- driver
+@dataclass
+class AnnotationResult:
+    cea: DataFrame   # final only_one CEA (all kept ties, rank 1 = output)
+    cta: DataFrame
+    cpa: DataFrame
+    inputs: AnnotInputs
+
+
+def _mat(df: DataFrame) -> DataFrame:
+    """Materialize + truncate lineage at a pass boundary. Without this the
+    4-pass DAG accretes into one enormous Catalyst plan (each pass references
+    several outputs of the previous) and optimization time explodes. On a
+    cluster this maps to a checkpoint to reliable storage between passes
+    (resumability requirement); locally localCheckpoint is sufficient."""
+    return df.localCheckpoint(eager=True)
+
+
+def annotate(
+    cand: DataFrame,
+    body: DataFrame,
+    col_classes: DataFrame,
+    edges: DataFrame,
+    degrees: DataFrame,
+    multihop: bool = True,
+    timings: dict | None = None,
+) -> AnnotationResult:
+    """Full 4-pass annotation (table_annotation.py:51-112)."""
+    import time as _t
+
+    timings = timings if timings is not None else {}
+
+    t0 = _t.time()
+    inp = build_inputs(cand, body, col_classes, edges, degrees, multihop)
+    timings["build_inputs"] = round(_t.time() - t0, 2)
+
+    # pass 1
+    t0 = _t.time()
+    s1 = entity_scores_pass1(inp)
+    cea1 = cea_task(inp, s1, cta=None, only_one=False)
+    cpa1 = _mat(cpa_task(inp, cea1, only_one=False))
+    timings["pass1"] = round(_t.time() - t0, 2)
+
+    # pass 2: soft re-weighting
+    t0 = _t.time()
+    we = update_context_weights(inp, cpa1)
+    s2, _, _ = entity_scores_soft(inp, we, cpa1)
+    s2 = _mat(s2)
+    cea2 = cea_task(inp, s2, cta=None, only_one=False)
+    cta2 = _mat(cta_task(inp, cea2, only_one=False))
+    timings["pass2"] = round(_t.time() - t0, 2)
+
+    # pass 3: disambiguation
+    t0 = _t.time()
+    cea3 = _mat(cea_task(inp, s2, cta=cta2, only_one=True))
+    cta3 = _mat(cta_task(inp, cea3, only_one=True))
+    cpa3 = _mat(cpa_task(inp, cea3, only_one=False))
+    timings["pass3"] = round(_t.time() - t0, 2)
+
+    # pass 4: reinforced disambiguation
+    t0 = _t.time()
+    unrelated = _mat(literal_context_restriction(inp, cpa3))
+    we4 = update_context_weights(inp, cpa3)
+    s3, ctxless, potential = entity_scores_soft(
+        inp, we4, cpa3, unrelated_pairs=unrelated, last_step=True
+    )
+    s3 = _mat(s3)
+    if ctxless is not None:
+        ctxless = _mat(ctxless)
+    if potential is not None:
+        potential = _mat(potential)
+    cea4 = _mat(
+        cea_task(
+            inp, s3, cta=cta3, only_one=True, contextless=ctxless, potential=potential
+        )
+    )
+    cta4 = _mat(cta_task(inp, cea4, only_one=True))
+    cpa4 = _mat(cpa_task(inp, cea4, only_one=True, unrelated_pairs=unrelated))
+    timings["pass4"] = round(_t.time() - t0, 2)
+    return AnnotationResult(cea=cea4, cta=cta4, cpa=cpa4, inputs=inp)

@@ -338,7 +338,7 @@ def lookup(
         per_cell.join(kept.select("table_id", "col_idx"), ["table_id", "col_idx"])
         .where(F.col("entity").isNotNull())
         .select(
-            "table_id", "row_idx", "col_idx", "mention_norm", "entity",
+            "table_id", "row_idx", "col_idx", "cell", "mention_norm", "entity",
             "best_label", "score",
         )
     )

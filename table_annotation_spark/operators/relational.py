@@ -1,0 +1,249 @@
+"""Engine-representative relational operators over the TPC-H-ish testdata.
+
+Each query exercises one join/agg/window shape the annotation engine relies
+on (SURVEY.md §2.7-2.8), stated over the driver's star schema so it can be
+oracled by DuckDB:
+
+- rel_pricing_agg      : map-side-combinable hash agg (A1/A2 counters shape)
+- rel_star_join        : broadcast dim joins (C3/C11 entity-id equi-join shape)
+- rel_topk_window      : per-group top-K (L8 candidate truncation shape)
+- rel_twohop_selfjoin  : shared-neighbor self-join (C5 2-hop shape)
+- rel_band_selfjoin    : range-band join (L3 length-band blocking shape)
+- rel_ordinal_runs     : lag-window consecutive-int check (A2 ORDINAL shape)
+- rel_events_window    : event-time tumbling window agg (streaming shape in
+                         batch; the streaming module runs the same plan via
+                         readStream)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pricing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_quantity") > 10)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("sum_price_cents"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS n_items,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+       sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_price_cents
+FROM lineitem WHERE l_quantity > 10
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "total_cents"
+            ),
+        )
+        .orderBy("r_name")
+    )
+
+
+STAR_JOIN_SQL = """
+SELECT r_name, count(*)::BIGINT AS n_orders,
+       sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("custkey"),
+            F.col("rk").cast("bigint").alias("rk"),
+            F.col("o_orderkey").cast("bigint").alias("orderkey"),
+        )
+        .orderBy("custkey", "rk")
+    )
+
+
+TOPK_WINDOW_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+)
+SELECT o_custkey::BIGINT AS custkey, rk::BIGINT AS rk,
+       o_orderkey::BIGINT AS orderkey
+FROM r WHERE rk <= 3 ORDER BY custkey, rk
+"""
+
+
+def twohop_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop via shared node: customers and suppliers sharing a nation —
+    the C5 subgraph-intersection join shape."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.join(s, c["c_nationkey"] == s["s_nationkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paths"),
+            F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
+            F.countDistinct("s_suppkey").cast("bigint").alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+TWOHOP_SQL = """
+SELECT c_nationkey AS nationkey, count(*)::BIGINT AS n_paths,
+       count(DISTINCT c_custkey)::BIGINT AS n_customers,
+       count(DISTINCT s_suppkey)::BIGINT AS n_suppliers
+FROM customer JOIN supplier ON c_nationkey = s_nationkey
+GROUP BY c_nationkey ORDER BY nationkey
+"""
+
+
+def band_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-band self-join: parts of the same brand within a size band of
+    ±2 — the L3 length-band blocking predicate shape."""
+    p = _t(spark, sf_dir, "part")
+    a = p.select(F.col("p_partkey").alias("pk_a"), F.col("p_brand").alias("brand"),
+                 F.col("p_size").alias("size_a"))
+    b = p.select(F.col("p_partkey").alias("pk_b"), F.col("p_brand").alias("brand"),
+                 F.col("p_size").alias("size_b"))
+    return (
+        a.join(b, "brand")
+        .where(
+            (F.col("pk_a") < F.col("pk_b"))
+            & (F.abs(F.col("size_a") - F.col("size_b")) <= 2)
+        )
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("brand")
+    )
+
+
+BAND_SQL = """
+SELECT a.p_brand AS brand, count(*)::BIGINT AS n_pairs
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  AND abs(a.p_size - b.p_size) <= 2
+GROUP BY a.p_brand ORDER BY brand
+"""
+
+
+def ordinal_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-int detection per order over linenumbers (lag window) —
+    the A2 ORDINAL index-column check shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    stepped = li.withColumn("prev", F.lag("l_linenumber").over(w)).withColumn(
+        "ok",
+        (F.col("prev").isNull() | (F.col("l_linenumber") == F.col("prev") + 1)).cast("int"),
+    )
+    return (
+        stepped.groupBy("l_orderkey")
+        .agg((F.min("ok") == 1).alias("is_consecutive"),
+             F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+        .groupBy("is_consecutive")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+             F.sum("n_lines").cast("bigint").alias("n_lines"))
+        .orderBy("is_consecutive")
+    )
+
+
+ORDINAL_SQL = """
+WITH s AS (
+  SELECT l_orderkey,
+         CASE WHEN lag(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) IS NULL
+                   OR l_linenumber = lag(l_linenumber) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) + 1
+              THEN 1 ELSE 0 END AS ok
+  FROM lineitem
+), per_order AS (
+  SELECT l_orderkey, min(ok) = 1 AS is_consecutive, count(*) AS n_lines
+  FROM s GROUP BY l_orderkey
+)
+SELECT is_consecutive, count(*)::BIGINT AS n_orders, sum(n_lines)::BIGINT AS n_lines
+FROM per_order GROUP BY is_consecutive ORDER BY is_consecutive
+"""
+
+
+def events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation (batch form of the
+    streaming plan in streaming/events_stream.py)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("value_milli"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(floor(value * 1000)::BIGINT)::BIGINT AS value_milli
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+ORACLES = {
+    "rel_pricing_agg": PRICING_AGG_SQL,
+    "rel_star_join": STAR_JOIN_SQL,
+    "rel_topk_window": TOPK_WINDOW_SQL,
+    "rel_twohop_selfjoin": TWOHOP_SQL,
+    "rel_band_selfjoin": BAND_SQL,
+    "rel_ordinal_runs": ORDINAL_SQL,
+    "rel_events_window": EVENTS_WINDOW_SQL,
+}
+
+QUERIES = {
+    "rel_pricing_agg": pricing_agg,
+    "rel_star_join": star_join,
+    "rel_topk_window": topk_window,
+    "rel_twohop_selfjoin": twohop_selfjoin,
+    "rel_band_selfjoin": band_selfjoin,
+    "rel_ordinal_runs": ordinal_runs,
+    "rel_events_window": events_window,
+}

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(baseline) and a sign-bucket LSH variant (the scale path).
+
+Cosine scores are computed JVM-side with `zip_with`/`aggregate` (no UDF).
+Outputs carry ranks, not raw floats — float summation order differs between
+engines, so the DuckDB oracles compare the SELECTED NEIGHBORS, which are
+stable, instead of the scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TOP_K = 5
+N_QUERIES = 50       # first N vec_ids serve as the query set
+LSH_BITS = 8         # sign of the first 8 dimensions
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    return dot / (norm(a) * norm(b))
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for the first N_QUERIES vectors.
+    Broadcast the (small) query side; scan the corpus once."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    j = (
+        F.broadcast(q).crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", _cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH j AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM j
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       neighbor_id::BIGINT AS neighbor_id
+FROM r WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+def _bucket(emb):
+    """Sign bucket over the first LSH_BITS dimensions — a deterministic
+    random-hyperplane LSH stand-in (the 'planes' are the axis planes)."""
+    return F.concat(
+        *[
+            F.when(F.element_at(emb, i + 1) >= 0, "1").otherwise("0")
+            for i in range(LSH_BITS)
+        ]
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: candidates restricted to the query's sign bucket, then
+    exact cosine re-rank within the bucket (IVF-style two-stage search)."""
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("embedding")))
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    j = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", _cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+    for i in range(LSH_BITS)
+)
+
+ANN_LSH_SQL = f"""
+WITH e AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+j AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM j
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       neighbor_id::BIGINT AS neighbor_id
+FROM r WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+ORACLES = {
+    "sim_ann_bruteforce": ANN_BRUTEFORCE_SQL,
+    "sim_ann_lsh": ANN_LSH_SQL,
+}
+
+QUERIES = {
+    "sim_ann_bruteforce": ann_bruteforce_topk,
+    "sim_ann_lsh": ann_lsh_topk,
+}

@@ -1,0 +1,141 @@
+"""End-to-end pipeline: source repos → preprocessed cells → candidates →
+CEA/CTA/CPA → canonicalized triples; with per-stage checkpoints, lineage and
+metrics (north_star resumability requirement).
+
+Stage layout mirrors SURVEY.md §7; each stage can persist its output to
+parquet under a run directory and later runs resume from the newest completed
+stage (per-partition checkpointing comes free from parquet task atomicity —
+a stage is complete iff its _SUCCESS marker exists).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import lookup as lk
+from ..operators.annotation import AnnotationResult, annotate
+from ..operators.materialize import canonicalize, emit_triples, with_uris
+from ..operators.preprocessing import (
+    body_cells,
+    column_meta,
+    preprocess_cells,
+)
+from ..sources.embedded_tables import extract_cells, extract_manifest
+
+STAGES = ["prep", "candidates", "cea", "cta", "cpa", "triples"]
+
+
+@dataclass
+class PipelineRun:
+    spark: SparkSession
+    labels: DataFrame
+    edges: DataFrame
+    degrees: DataFrame
+    checkpoint_dir: str | None = None
+    k: int = lk.DEFAULT_K
+    max_gram_df: int | None = None
+    multihop: bool = True
+    metrics: dict = field(default_factory=dict)
+
+    # ------------------------------------------------------------ helpers
+    def _ckpt_path(self, stage: str) -> str | None:
+        if not self.checkpoint_dir:
+            return None
+        return os.path.join(self.checkpoint_dir, stage)
+
+    def _is_done(self, stage: str) -> bool:
+        p = self._ckpt_path(stage)
+        return bool(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    def _checkpoint(self, stage: str, df: DataFrame) -> DataFrame:
+        """Persist stage output to parquet and read it back (cuts lineage,
+        enables resume). No-op passthrough when checkpointing is off."""
+        p = self._ckpt_path(stage)
+        if not p:
+            return df
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(p)
+        self.metrics[f"{stage}_write_sec"] = round(time.time() - t0, 3)
+        return self.spark.read.parquet(p)
+
+    def _load(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._ckpt_path(stage))
+
+    # ------------------------------------------------------------ stages
+    def run(self, src: DataFrame) -> dict[str, DataFrame]:
+        """Execute (or resume) the full pipeline. Returns all stage outputs."""
+        t_start = time.time()
+
+        if self._is_done("prep"):
+            prep = self._load("prep")
+        else:
+            t0 = time.time()
+            cells = extract_cells(src)
+            prep = preprocess_cells(cells)
+            if not self.checkpoint_dir:
+                prep = prep.localCheckpoint(eager=True)
+            prep = self._checkpoint("prep", prep)
+            self.metrics["prep_sec"] = round(time.time() - t0, 3)
+        manifest = extract_manifest(src)
+
+        body = body_cells(prep).cache()
+        cols = column_meta(prep)
+        classes = lk.classify_columns(cols, body).cache()
+
+        if self._is_done("candidates"):
+            cand = self._load("candidates")
+        else:
+            t0 = time.time()
+            idf = lk.token_idf(self.labels)
+            cand, _kept = lk.lookup(
+                body, classes, self.labels, idf,
+                k=self.k, max_gram_df=self.max_gram_df,
+            )
+            if not self.checkpoint_dir:
+                cand = cand.localCheckpoint(eager=True)
+            cand = self._checkpoint("candidates", cand)
+            self.metrics["lookup_sec"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        result: AnnotationResult = annotate(
+            cand, body, classes, self.edges, self.degrees,
+            multihop=self.multihop, timings=self.metrics,
+        )
+        cea = self._checkpoint("cea", result.cea)
+        cta = self._checkpoint("cta", result.cta)
+        cpa = self._checkpoint("cpa", result.cpa)
+        self.metrics["annotate_sec"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        triples = emit_triples(result)
+        cea_mentions = result.cea.join(
+            cand.select("table_id", "row_idx", "col_idx", "entity", "mention_norm"),
+            ["table_id", "row_idx", "col_idx", "entity"],
+        )
+        triples_canon = with_uris(canonicalize(triples, cea_mentions))
+        triples_canon = self._checkpoint("triples", triples_canon)
+        self.metrics["materialize_sec"] = round(time.time() - t0, 3)
+        self.metrics["total_sec"] = round(time.time() - t_start, 3)
+
+        if self.checkpoint_dir:
+            with open(
+                os.path.join(self.checkpoint_dir, "metrics.json"), "w"
+            ) as fh:
+                json.dump(self.metrics, fh, indent=2)
+
+        return {
+            "manifest": manifest,
+            "prep": prep,
+            "body": body,
+            "classes": classes,
+            "candidates": cand,
+            "cea": cea,
+            "cta": cta,
+            "cpa": cpa,
+            "triples": triples_canon,
+        }
