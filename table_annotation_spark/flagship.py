@@ -1,0 +1,227 @@
+"""Flagship job: the full KG-construction pipeline over a source-repo table
+synthesized DETERMINISTICALLY from the driver's TPC-H-ish parquet.
+
+Shape (per BASELINE.json input_hint): an Iceberg-like table
+(repo, path, commit, lang, content) whose `content` embeds CSV tables —
+here: one "customers of nation N" CSV per nation plus a nations/regions CSV —
+annotated against a KG derived from the same parquet (every customer, nation
+and region becomes an entity with labels and typed edges).
+
+This gives entry() a real end-to-end run whose volume scales with sf:
+sf0.001 → ~25 tables / ~175 rows; sf0.1 → ~25 tables / ~15k rows.
+
+Synthetic-entity id scheme (Wikidata-shaped so F15/F16 hold):
+  nation k   → Q{10000+k}         region k → Q{20000+k}
+  customer k → Q{3000000+k}
+  classes: nation Q9001, region Q9002, person Q9005 (P279 → Q9000 → Q35120)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import lookup as lk
+from .plans.pipeline import PipelineRun
+from .sources import kg_build
+
+
+def synth_source(spark: SparkSession, sf_dir: str, max_tables: int | None = None) -> DataFrame:
+    """Build the (repo, path, commit, lang, content) source table: one CSV per
+    nation with its customers (name, nation, balance) + one nations CSV.
+    Pure DataFrame ops + a final per-nation aggregation into content strings."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+
+    c = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .select(
+            "n_nationkey", "n_name", "c_custkey", "c_name",
+            F.floor(F.col("c_acctbal")).cast("bigint").alias("bal"),
+        )
+    )
+    lines = c.select(
+        "n_nationkey",
+        F.col("c_custkey").alias("ord"),
+        F.concat_ws(",", "c_name", "n_name", F.col("bal").cast("string")).alias("line"),
+    )
+    tables = (
+        lines.groupBy("n_nationkey")
+        .agg(F.array_sort(F.collect_list(F.struct("ord", "line"))).alias("rows"))
+        .select(
+            "n_nationkey",
+            F.concat(
+                F.lit("customer,nation,balance\n"),
+                F.array_join(F.transform("rows", lambda r: r["line"]), "\n"),
+                F.lit("\n"),
+            ).alias("content"),
+        )
+    )
+    src_cust = tables.select(
+        F.lit("tpch/customers").alias("repo"),
+        F.concat(F.lit("data/nation_"), F.col("n_nationkey").cast("string"),
+                 F.lit(".csv")).alias("path"),
+        F.lpad(F.col("n_nationkey").cast("string"), 40, "0").alias("commit"),
+        F.lit("csv").alias("lang"),
+        "content",
+    )
+    if max_tables is not None:
+        src_cust = src_cust.where(F.col("path") < f"data/nation_{max_tables}")
+
+    nat_rows = (
+        nat.join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select(
+            F.col("n_nationkey").alias("ord"),
+            F.concat_ws(",", "n_name", "r_name").alias("line"),
+        )
+    )
+    src_nat = nat_rows.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("ord", "line"))).alias("rows")
+    ).select(
+        F.lit("tpch/geo").alias("repo"),
+        F.lit("data/nations.csv").alias("path"),
+        F.lit("f" * 40).alias("commit"),
+        F.lit("csv").alias("lang"),
+        F.concat(
+            F.lit("nation,region\n"),
+            F.array_join(F.transform("rows", lambda r: r["line"]), "\n"),
+            F.lit("\n"),
+        ).alias("content"),
+    )
+    return src_cust.unionByName(src_nat)
+
+
+def synth_kg(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(labels, edges, degrees) derived from the same parquet."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+
+    q_nat = F.concat(F.lit("Q"), (F.col("n_nationkey") + 10000).cast("string"))
+    q_reg = F.concat(F.lit("Q"), (F.col("r_regionkey") + 20000).cast("string"))
+    q_cust = F.concat(F.lit("Q"), (F.col("c_custkey") + 3000000).cast("string"))
+
+    lbl_nat = nat.select(
+        q_nat.alias("entity"), F.col("n_name").alias("label"),
+        F.length("n_name").alias("length"), F.lit("LABEL").alias("origin"),
+        F.lit(0.8).alias("pr"),
+    )
+    lbl_reg = reg.select(
+        q_reg.alias("entity"), F.col("r_name").alias("label"),
+        F.length("r_name").alias("length"), F.lit("LABEL").alias("origin"),
+        F.lit(0.9).alias("pr"),
+    )
+    lbl_cust = cust.select(
+        q_cust.alias("entity"), F.col("c_name").alias("label"),
+        F.length("c_name").alias("length"), F.lit("LABEL").alias("origin"),
+        F.lit(0.1).alias("pr"),
+    )
+    classes = spark.createDataFrame(
+        [
+            ("Q9001", "nation", 0.3), ("Q9002", "region", 0.3),
+            ("Q9005", "person", 0.3), ("Q9000", "territorial entity", 0.3),
+            ("Q35120", "entity", 0.3),
+        ],
+        ["entity", "label", "pr"],
+    ).select(
+        "entity", "label", F.length("label").alias("length"),
+        F.lit("LABEL").alias("origin"), F.col("pr").cast("double").alias("pr"),
+    )
+    labels = kg_build.with_label_norm(
+        lbl_nat.unionByName(lbl_reg).unionByName(lbl_cust).unionByName(classes)
+    )
+
+    def fwd_rev(df):
+        rev = df.select(
+            F.col("obj").alias("subj"), "pred", F.lit(True).alias("reverse"),
+            F.col("subj").alias("obj"), "obj_kind", "obj_type",
+        )
+        return df.unionByName(rev)
+
+    e_nat_type = nat.select(
+        q_nat.alias("subj"), F.lit("P31").alias("pred"),
+        F.lit(False).alias("reverse"), F.lit("Q9001").alias("obj"),
+        F.lit("entity").alias("obj_kind"), F.lit("PREFERRED").alias("obj_type"),
+    )
+    e_reg_type = reg.select(
+        q_reg.alias("subj"), F.lit("P31").alias("pred"),
+        F.lit(False).alias("reverse"), F.lit("Q9002").alias("obj"),
+        F.lit("entity").alias("obj_kind"), F.lit("PREFERRED").alias("obj_type"),
+    )
+    e_cust_type = cust.select(
+        q_cust.alias("subj"), F.lit("P31").alias("pred"),
+        F.lit(False).alias("reverse"), F.lit("Q9005").alias("obj"),
+        F.lit("entity").alias("obj_kind"), F.lit("PREFERRED").alias("obj_type"),
+    )
+    # nation part-of region (P361 is transitive in the reference list)
+    e_nat_reg = nat.select(
+        q_nat.alias("subj"), F.lit("P361").alias("pred"),
+        F.lit(False).alias("reverse"),
+        F.concat(F.lit("Q"), (F.col("n_regionkey") + 20000).cast("string")).alias("obj"),
+        F.lit("entity").alias("obj_kind"), F.lit("NORMAL").alias("obj_type"),
+    )
+    # customer citizen-of nation (P27)
+    e_cust_nat = cust.select(
+        q_cust.alias("subj"), F.lit("P27").alias("pred"),
+        F.lit(False).alias("reverse"),
+        F.concat(F.lit("Q"), (F.col("c_nationkey") + 10000).cast("string")).alias("obj"),
+        F.lit("entity").alias("obj_kind"), F.lit("NORMAL").alias("obj_type"),
+    )
+    # customer balance literal (Quantity-1 → disabled comparison path, harmless)
+    e_cust_bal = cust.select(
+        q_cust.alias("subj"), F.lit("P2218").alias("pred"),
+        F.lit(False).alias("reverse"),
+        F.floor(F.col("c_acctbal")).cast("string").alias("obj"),
+        F.lit("literal").alias("obj_kind"), F.lit("Quantity-1").alias("obj_type"),
+    )
+    p279 = spark.createDataFrame(
+        [
+            ("Q9001", "P279", False, "Q9000", "entity", "NORMAL"),
+            ("Q9002", "P279", False, "Q9000", "entity", "NORMAL"),
+            ("Q9005", "P279", False, "Q9000", "entity", "NORMAL"),
+            ("Q9000", "P279", False, "Q35120", "entity", "NORMAL"),
+        ],
+        ["subj", "pred", "reverse", "obj", "obj_kind", "obj_type"],
+    )
+    edges = (
+        fwd_rev(e_nat_type)
+        .unionByName(fwd_rev(e_reg_type))
+        .unionByName(fwd_rev(e_cust_type))
+        .unionByName(fwd_rev(e_nat_reg))
+        .unionByName(fwd_rev(e_cust_nat))
+        .unionByName(e_cust_bal)
+        .unionByName(fwd_rev(p279))
+    )
+    degrees = kg_build.degrees(edges)
+    return labels, edges, degrees
+
+
+def run_flagship(
+    spark: SparkSession,
+    sf_dir: str,
+    max_tables: int | None = None,
+    k: int = 5,
+    checkpoint_dir: str | None = None,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Full pipeline on the synthesized source; returns canonical triples."""
+    from .session import tune_for_input_size
+
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    tune_for_input_size(spark, n_cust)
+    labels, edges, degrees = synth_kg(spark, sf_dir)
+    labels = labels.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    degrees = degrees.localCheckpoint(eager=True)
+    src = synth_source(spark, sf_dir, max_tables=max_tables)
+    run = PipelineRun(
+        spark=spark, labels=labels, edges=edges, degrees=degrees,
+        checkpoint_dir=checkpoint_dir, k=k,
+    )
+    out = run.run(src)
+    if metrics is not None:
+        metrics.update(run.metrics)
+    return out["triples"]

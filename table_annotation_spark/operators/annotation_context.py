@@ -240,26 +240,28 @@ def literal_matches(
 
     Returns (table_id, row_idx, col_idx, entity, lit_col, lit_class, pid,
     match_score, lit_cell)."""
+    # alias-isolate: col_classes shares lineage with body (classify_columns
+    # aggregates body), so rename join keys to fresh attributes before the
+    # equi-join to avoid Catalyst conflicting-attribute errors
     lit_cols = col_classes.where(
         F.col("col_class").isin("date", "numeral_unit", "numeral", "textual")
-    ).select("table_id", F.col("col_idx").alias("lit_col"),
-             F.col("col_class").alias("lit_class"))
+    ).select(
+        F.col("table_id").alias("lc_tid"),
+        F.col("col_idx").alias("lit_col"),
+        F.col("col_class").alias("lit_class"),
+    )
     lit_cells = body.join(
         lit_cols,
-        (body["table_id"] == lit_cols["table_id"])
-        & (body["col_idx"] == lit_cols["lit_col"]),
+        (F.col("table_id") == F.col("lc_tid")) & (F.col("col_idx") == F.col("lit_col")),
     ).select(
-        body["table_id"], "row_idx", "lit_col", "lit_class",
+        "table_id", "row_idx", "lit_col", "lit_class",
         F.col("cell").alias("lit_cell"),
     )
 
     cand_e = cand.select("table_id", "row_idx", "col_idx", "entity")
     le = literal_edges(edges)
-    cand_edges = (
-        cand_e.select("entity").distinct()
-        .join(le, cand_e["entity"] == le["subj"])
-        .drop("subj")
-    )
+    ents = cand_e.select("entity").distinct()
+    cand_edges = ents.join(le, ents["entity"] == le["subj"]).drop("subj")
     # attach unit symbols for Quantity-<unitQID> edge objects
     usym = unit_symbols(edges)
     unit_q = F.when(

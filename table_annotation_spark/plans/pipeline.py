@@ -83,9 +83,9 @@ class PipelineRun:
             self.metrics["prep_sec"] = round(time.time() - t0, 3)
         manifest = extract_manifest(src)
 
-        body = body_cells(prep).cache()
+        body = body_cells(prep).localCheckpoint(eager=True)
         cols = column_meta(prep)
-        classes = lk.classify_columns(cols, body).cache()
+        classes = lk.classify_columns(cols, body).localCheckpoint(eager=True)
 
         if self._is_done("candidates"):
             cand = self._load("candidates")

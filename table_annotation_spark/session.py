@@ -16,6 +16,19 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
 
+def tune_for_input_size(spark: SparkSession, approx_rows: int) -> None:
+    """Set runtime confs by input size. AQE's per-shuffle re-optimization
+    costs ~0.5-1 s per exchange — a pure win at TB scale, a 6× slowdown on
+    kB-scale fixture runs (measured: 596 s → 98 s with AQE off at fixture
+    scale). Both knobs are runtime-settable, so this works on a session we
+    did not create (e.g. the driver's)."""
+    if approx_rows < 1_000_000:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    else:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def get_spark(
     app_name: str = "table_annotation_spark",
     master: str | None = None,
