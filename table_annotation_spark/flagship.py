@@ -26,9 +26,16 @@ from .plans.pipeline import PipelineRun
 from .sources import kg_build
 
 
-def synth_source(spark: SparkSession, sf_dir: str, max_tables: int | None = None) -> DataFrame:
+def synth_source(
+    spark: SparkSession,
+    sf_dir: str,
+    max_tables: int | None = None,
+    include_orders: bool = True,
+) -> DataFrame:
     """Build the (repo, path, commit, lang, content) source table: one CSV per
-    nation with its customers (name, nation, balance) + one nations CSV.
+    nation with its customers (name, nation, balance), one per nation with its
+    orders (customer, nation, price, date — 10× the rows, the scaling
+    workload), + one nations CSV.
     Pure DataFrame ops + a final per-nation aggregation into content strings."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -68,6 +75,39 @@ def synth_source(spark: SparkSession, sf_dir: str, max_tables: int | None = None
     )
     if max_tables is not None:
         src_cust = src_cust.where(F.col("path") < f"data/nation_{max_tables}")
+
+    if include_orders:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        ol = (
+            orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+            .select(
+                "n_nationkey",
+                F.col("o_orderkey").alias("ord"),
+                F.concat_ws(
+                    ",", "c_name", "n_name",
+                    F.floor(F.col("o_totalprice")).cast("string"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd"),
+                ).alias("line"),
+            )
+        )
+        src_orders = (
+            ol.groupBy("n_nationkey")
+            .agg(F.array_sort(F.collect_list(F.struct("ord", "line"))).alias("rows"))
+            .select(
+                F.lit("tpch/orders").alias("repo"),
+                F.concat(F.lit("data/orders_"), F.col("n_nationkey").cast("string"),
+                         F.lit(".csv")).alias("path"),
+                F.lpad(F.concat(F.lit("9"), F.col("n_nationkey").cast("string")), 40, "9").alias("commit"),
+                F.lit("csv").alias("lang"),
+                F.concat(
+                    F.lit("customer,nation,price,orderdate\n"),
+                    F.array_join(F.transform("rows", lambda r: r["line"]), "\n"),
+                    F.lit("\n"),
+                ).alias("content"),
+            )
+        )
+        src_cust = src_cust.unionByName(src_orders)
 
     nat_rows = (
         nat.join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
@@ -204,6 +244,7 @@ def run_flagship(
     sf_dir: str,
     max_tables: int | None = None,
     k: int = 5,
+    max_gram_df: int | None = 64,
     checkpoint_dir: str | None = None,
     metrics: dict | None = None,
 ) -> DataFrame:
@@ -211,7 +252,7 @@ def run_flagship(
     from .session import tune_for_input_size
 
     n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
-    tune_for_input_size(spark, n_cust)
+    tune_for_input_size(spark, n_cust * 11)  # orders add ~10x the rows
     labels, edges, degrees = synth_kg(spark, sf_dir)
     labels = labels.localCheckpoint(eager=True)
     edges = edges.localCheckpoint(eager=True)
@@ -219,7 +260,7 @@ def run_flagship(
     src = synth_source(spark, sf_dir, max_tables=max_tables)
     run = PipelineRun(
         spark=spark, labels=labels, edges=edges, degrees=degrees,
-        checkpoint_dir=checkpoint_dir, k=k,
+        checkpoint_dir=checkpoint_dir, k=k, max_gram_df=max_gram_df,
     )
     out = run.run(src)
     if metrics is not None:

@@ -224,12 +224,18 @@ def score_candidates(
     k: int = DEFAULT_K,
 ) -> DataFrame:
     """Fuzzy re-score → adaptive threshold → origin factor → per-entity max →
-    final L7 score → top-K. Returns (mention_norm, entity, best_label, score)."""
+    final L7 score → top-K. Returns (mention_norm, entity, best_label, score).
+
+    The UDF-scored pair set feeds four downstream branches (threshold window,
+    lexical join, per-entity max, final window) — materialize it once so the
+    blocking join + Python scoring don't recompute per branch."""
     fuzzy = _fuzzy_udf()
     pexact = _partial_exact_udf()
 
-    scored = pairs.withColumn("fuzzy", fuzzy("mention_norm", "label_norm")).withColumn(
-        "pexact", pexact("mention_norm", "label_norm")
+    scored = (
+        pairs.withColumn("fuzzy", fuzzy("mention_norm", "label_norm"))
+        .withColumn("pexact", pexact("mention_norm", "label_norm"))
+        .localCheckpoint(eager=True)
     )
 
     w_mention = Window.partitionBy("mention_norm")
@@ -317,10 +323,10 @@ def lookup(
     (annotation_models.py:261-277; we apply it uniformly, NOT replicating the
     reference's iterator-skip bug — documented deviation, SURVEY §3.1.d).
     """
-    mentions = extract_mentions(body, col_classes)
+    mentions = extract_mentions(body, col_classes).localCheckpoint(eager=True)
     distinct_mentions = mentions.select("mention_norm").distinct()
     pairs = candidate_pairs(distinct_mentions, labels, max_gram_df=max_gram_df)
-    cand = score_candidates(pairs, idf, k=k)
+    cand = score_candidates(pairs, idf, k=k).localCheckpoint(eager=True)
 
     per_cell = mentions.join(cand, "mention_norm", "left")
 

@@ -116,14 +116,6 @@ def type_cells(cells: DataFrame, cell_col: str = "cell") -> DataFrame:
 
 
 # ---------------------------------------------------------------- stage 2b
-MAX_DECISION_ROWS = 400  # reference samples >400-row tables
-                         # (table_preprocessing.py:50-55) — we keep ALL rows
-                         # in the output but could subsample the decision
-                         # pass; deterministic variant: first 10 + lowest
-                         # hash(table_id,row_idx). Fixture/bench tables are
-                         # far below this bound.
-
-
 def _prep_one_table(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values(["row_idx", "col_idx"])
     tid = pdf["table_id"].iloc[0]
@@ -144,7 +136,7 @@ def _prep_one_table(pdf: pd.DataFrame) -> pd.DataFrame:
             typing_map[cell] = {ct}
         if cdt:
             datatype_map[cell] = {cdt}
-    ta = analyze_table(grid, typing=typing_map, datatype=datatype_map)
+    ta = analyze_table(grid, typing=typing_map, datatype=datatype_map, table_id=tid)
     cols = {f.name: [] for f in PREP_SCHEMA.fields}
     if ta is None:
         return pd.DataFrame(cols)

@@ -23,6 +23,7 @@ with singleton sets that resolution is a no-op, so the counters below skip it).
 
 from __future__ import annotations
 
+import hashlib
 import math
 from dataclasses import dataclass, field
 
@@ -386,10 +387,33 @@ class TableAnalysis:
     col_datatype: dict[int, list[dict]] = field(default_factory=dict)
 
 
+MAX_DECISION_ROWS = 400
+
+
+def decision_sample(grid: list[list[str]], tid: str = "") -> list[list[str]]:
+    """P6 — big-table sampling for the DECISION pass only: first 10 rows +
+    the 390 lowest-hash remaining rows. The reference uses an unseeded
+    random.shuffle (table_preprocessing.py:50-55) and then annotates ONLY the
+    sample; we (a) make the sample deterministic (sha256 of row content) and
+    (b) keep ALL rows in the output — decisions come from the sample, the
+    full table is still annotated (documented improvement, SURVEY §2.2 P6)."""
+    if len(grid) <= MAX_DECISION_ROWS:
+        return grid
+    head = grid[:10]
+    rest = sorted(
+        grid[10:],
+        key=lambda row: hashlib.sha256(
+            (tid + "\x1f" + "\x1f".join(row)).encode("utf-8")
+        ).hexdigest(),
+    )[: MAX_DECISION_ROWS - 10]
+    return head + rest
+
+
 def analyze_table(
     raw_grid: list[list[str]],
     typing: dict[str, set[str]] | None = None,
     datatype: dict[str, set[str]] | None = None,
+    table_id: str = "",
 ) -> TableAnalysis | None:
     """Full preprocessing of one table — mirrors table_preprocessing.py:29-99:
     clean → type distinct cells → orientation → transpose if VERTICAL →
@@ -405,14 +429,16 @@ def analyze_table(
         return None
     if typing is None or datatype is None:
         typing, datatype = build_typing_maps(grid)
-    orientation, o_score = detect_orientation(grid, typing, datatype)
+    dgrid = decision_sample(grid, table_id)
+    orientation, o_score = detect_orientation(dgrid, typing, datatype)
     if orientation == "VERTICAL":
         grid = transpose(grid)
-    body = grid[1:] if len(grid) > 1 else grid
+        dgrid = transpose(dgrid)
+    body = dgrid[1:] if len(dgrid) > 1 else dgrid
     col_typing = typing_per_column(body, typing, 3)
     col_datatype = datatype_per_column(body, datatype, 3)
-    key_col, key_score = detect_key_column(grid, o_score, datatype)
-    has_header, h_score = detect_header(grid, o_score, typing)
+    key_col, key_score = detect_key_column(dgrid, o_score, datatype)
+    has_header, h_score = detect_header(dgrid, o_score, typing)
     return TableAnalysis(
         grid=grid,
         orientation=orientation,

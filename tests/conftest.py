@@ -12,7 +12,12 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
 def spark():
     from table_annotation_spark.session import get_spark
 
-    s = get_spark(app_name="tests", shuffle_partitions=8)
+    s = get_spark(
+        app_name="tests",
+        shuffle_partitions=4,
+        # AQE re-planning dominates at fixture scale (see session.py)
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     yield s
     s.stop()
 
