@@ -95,32 +95,82 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def _hash_work(n: int) -> int:
+    """Module-level so multiprocessing can pickle it."""
+    import hashlib
+
+    h = b"x"
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return h[0]
+
+
 def _machine_ceiling(n_lo: int, n_hi: int) -> float:
     """Raw CPU scaling this host actually delivers from n_lo to n_hi worker
     processes (pure hashing, no Spark). On shared/SMT hosts this is < n_hi/n_lo;
     the Spark numbers below are bounded by it."""
-    import hashlib
     import multiprocessing as mp
-
-    def work(n: int) -> int:
-        h = b"x"
-        for _ in range(n):
-            h = hashlib.sha256(h).digest()
-        return h[0]
 
     units = [1_500_000] * (2 * n_hi)
     times = {}
     for procs in (n_lo, n_hi):
         with mp.Pool(procs) as p:
             t0 = time.time()
-            p.map(work, units)
+            p.map(_hash_work, units)
             times[procs] = time.time() - t0
     return round(times[n_lo] / times[n_hi], 3)
 
 
+def _kernel_scaling(n_lo: int, n_hi: int) -> dict:
+    """Data-plane scaling of the engine's hottest compute kernel: the
+    Arrow-batched fuzzy re-scorer (L5) over 400k synthetic mention/label
+    pairs — pure executor work, no orchestration. This is what a 1000-executor
+    cluster actually parallelizes; the end-to-end flagship number at sandbox
+    scale is dominated by constant driver latency instead (see BASELINE.md)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from table_annotation_spark.session import get_spark
+
+    times = {}
+    for cores in (str(n_lo), str(n_hi)):
+        spark = get_spark(
+            app_name=f"kernel-{cores}", master=f"local[{cores}]",
+            shuffle_partitions=int(cores) * 2,
+            extra_conf={"spark.sql.adaptive.enabled": "false"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        from table_annotation_spark.functions.similarity import mixed_fuzzy_score
+
+        @F.pandas_udf("double")
+        def fuzzy(m: pd.Series, lbl: pd.Series) -> pd.Series:
+            return pd.Series([mixed_fuzzy_score(a, b) for a, b in zip(m, lbl)])
+
+        df = (
+            spark.range(400_000, numPartitions=int(cores) * 2)
+            .withColumn("m", F.concat(F.lit("customer record "),
+                                      (F.col("id") % 99991).cast("string")))
+            .withColumn("l", F.concat(F.lit("customer recrod "),
+                                      ((F.col("id") + 7) % 99991).cast("string")))
+        )
+        df.select(fuzzy("m", "l").alias("s")).agg(F.sum("s")).collect()  # warm
+        t0 = time.time()
+        df.select(fuzzy("m", "l").alias("s")).agg(F.sum("s")).collect()
+        times[cores] = time.time() - t0
+        spark.stop()
+    speedup = round(times[str(n_lo)] / times[str(n_hi)], 3)
+    return {
+        f"local[{n_lo}]_sec": round(times[str(n_lo)], 2),
+        f"local[{n_hi}]_sec": round(times[str(n_hi)], 2),
+        "speedup": speedup,
+        "efficiency": round(speedup / (n_hi / n_lo), 3),
+    }
+
+
 def scaling_report(sf_dir: str, n_lo: int = 8, n_hi: int = 32) -> dict:
     """Same flagship job at two parallelism levels (the sandbox proxy for N
-    vs 4N executors) + a raw-CPU ceiling calibration for this host."""
+    vs 4N executors) + a raw-CPU ceiling calibration + the data-plane kernel
+    scaling measurement."""
     scaling = {}
     for c in (str(n_lo), str(n_hi)):
         r = run_bench(sf_dir, c)
@@ -141,6 +191,7 @@ def scaling_report(sf_dir: str, n_lo: int = 8, n_hi: int = 32) -> dict:
         "machine_cpu_ceiling_speedup": ceiling,
         "machine_cpu_ceiling_efficiency": round(ceiling / factor, 3),
         "ceiling_normalized_efficiency": round(speedup / ceiling, 3),
+        "kernel_scaling": _kernel_scaling(n_lo, n_hi),
     }
 
 

@@ -1,0 +1,83 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB must be
+visible in the plans at any scale — filter/column pushdown into parquet
+scans, broadcast joins for small dims, partial (map-side) aggregation, and
+no cartesian products in the blocking join.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from table_annotation_spark.operators import relational as rel
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+class TestPushdown:
+    def test_filter_pushdown_into_scan(self, spark):
+        df = rel.pricing_agg(spark, SF)
+        plan = plan_of(df)
+        assert "PushedFilters" in plan
+        # the quantity predicate must reach the parquet scan
+        assert "GreaterThan(l_quantity" in plan
+
+    def test_column_pruning(self, spark):
+        df = rel.pricing_agg(spark, SF)
+        plan = plan_of(df)
+        # ReadSchema must NOT include unused columns like l_shipdate/l_tax
+        read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert read_schema
+        assert "l_shipdate" not in read_schema[0]
+        assert "l_suppkey" not in read_schema[0]
+
+    def test_projection_only_reads_needed_columns(self, spark):
+        df = (
+            spark.read.parquet(f"{SF}/lineitem.parquet")
+            .select("l_orderkey", "l_quantity")
+            .where(F.col("l_quantity") > 5)
+        )
+        plan = plan_of(df)
+        line = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+        assert "l_orderkey" in line and "l_quantity" in line
+        assert "l_extendedprice" not in line
+
+
+class TestJoinStrategies:
+    def test_star_join_broadcasts_dims(self, spark):
+        plan = plan_of(rel.star_join(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_band_selfjoin_is_hash_join_on_brand(self, spark):
+        plan = plan_of(rel.band_selfjoin(spark, SF))
+        # equi-part on brand keeps it a hash join; the band predicate is a
+        # post-join filter, NOT a cartesian product
+        assert "CartesianProduct" not in plan
+        assert "Join" in plan
+
+    def test_blocking_join_no_cartesian(self, spark, kg):
+        from table_annotation_spark.operators import lookup as lk
+
+        labels, _ = kg
+        m = spark.createDataFrame([("paris",), ("pulp fiction",)], ["mention_norm"])
+        pairs = lk.candidate_pairs(m, labels)
+        plan = plan_of(pairs)
+        assert "CartesianProduct" not in plan
+
+
+class TestAggregation:
+    def test_partial_aggregation(self, spark):
+        plan = plan_of(rel.pricing_agg(spark, SF))
+        # map-side combine: two HashAggregate nodes (partial + final)
+        assert plan.count("HashAggregate") >= 2
+
+    def test_whole_stage_codegen_active(self, spark):
+        # formatted mode marks codegen-compiled operators with a '*' prefix
+        plan = plan_of(rel.pricing_agg(spark, SF))
+        assert "* HashAggregate" in plan
+        assert "* Filter" in plan
