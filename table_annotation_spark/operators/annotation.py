@@ -749,12 +749,15 @@ def annotate(
     cpa3 = _mat(cpa_task(inp, cea3, only_one=False))
     timings["pass3"] = round(_t.time() - t0, 2)
 
-    # pass 4: reinforced disambiguation
+    # pass 4: reinforced disambiguation.
+    # NOTE: update_context_weight(onlyLiteralContext=True) in the reference
+    # (annotation_models.py:380-395) only populates unrelated_col_pairs — the
+    # entry WEIGHTS remain the ones computed from CPA¹ in pass 2; only the
+    # CPA used for scale factors advances to CPA³.
     t0 = _t.time()
     unrelated = _mat(literal_context_restriction(inp, cpa3))
-    we4 = update_context_weights(inp, cpa3)
     s3, ctxless, potential = entity_scores_soft(
-        inp, we4, cpa3, unrelated_pairs=unrelated, last_step=True
+        inp, we, cpa3, unrelated_pairs=unrelated, last_step=True
     )
     s3 = _mat(s3)
     if ctxless is not None:
