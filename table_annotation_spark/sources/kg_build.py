@@ -142,6 +142,25 @@ def edges_from_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return fwd.unionByName(rev)
 
 
+def write_bucketed(
+    df: DataFrame, name: str, bucket_col: str, n_buckets: int = 16
+) -> DataFrame:
+    """Persist a KG table bucketed on its join key (kg_edges → subj,
+    kg_labels → label_norm). On the bucketed side, joins keyed on
+    ``bucket_col`` read pre-partitioned data — no exchange (verified in
+    tests/test_plans.py). At cluster scale this is the Iceberg
+    ``bucket(N, col)`` partition transform; locally it is a Spark bucketed
+    table in the session warehouse."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return df.sparkSession.table(name)
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """kg_degrees (entity, degree) — popularity damping input
     (annotation_models.py:499-503). One groupBy; broadcast downstream."""

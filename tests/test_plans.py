@@ -81,3 +81,19 @@ class TestAggregation:
         plan = plan_of(rel.pricing_agg(spark, SF))
         assert "* HashAggregate" in plan
         assert "* Filter" in plan
+
+
+class TestBucketing:
+    def test_bucketed_edges_join_without_exchange(self, spark, kg, tmp_path):
+        """kg_edges bucketed by subj: an aggregation keyed on subj reads
+        pre-bucketed data with NO Exchange before the final agg."""
+        from table_annotation_spark.sources import kg_build
+
+        _, edges = kg
+        bucketed = kg_build.write_bucketed(edges, "kg_edges_bucketed", "subj", 4)
+        agg = bucketed.groupBy("subj").count()
+        plan = plan_of(agg)
+        # bucketed scan satisfies the hash partitioning requirement: the only
+        # acceptable plan has no shuffle Exchange between scan and aggregate
+        assert "Exchange hashpartitioning(subj" not in plan
+        assert "Scan parquet" in plan
