@@ -16,6 +16,9 @@ in-memory DataFrames.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -151,6 +154,13 @@ def write_bucketed(
     tests/test_plans.py). At cluster scale this is the Iceberg
     ``bucket(N, col)`` partition transform; locally it is a Spark bucketed
     table in the session warehouse."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # a previous session may have left the managed location behind
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.replace("file:", ""), name.lower())
+    if os.path.exists(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)
