@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 
 from table_annotation_spark.operators import dedup as _dedup
+from table_annotation_spark.operators import kg_queries as _kg
 from table_annotation_spark.operators import relational as _rel
 from table_annotation_spark.operators import similarity as _sim
 from table_annotation_spark.operators import text as _text
@@ -41,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_text.QUERIES)
     q.update(_dedup.QUERIES)
     q.update(_sim.QUERIES)
+    q.update(_kg.QUERIES)
     return q
 
 
@@ -50,4 +52,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(_text.ORACLES)
     o.update(_dedup.ORACLES)
     o.update(_sim.ORACLES)
+    o.update(_kg.ORACLES)
     return o

@@ -245,6 +245,7 @@ def run_flagship(
     max_tables: int | None = None,
     k: int = 5,
     max_gram_df: int | None = 64,
+    include_orders: bool = True,
     checkpoint_dir: str | None = None,
     metrics: dict | None = None,
 ) -> DataFrame:
@@ -257,7 +258,7 @@ def run_flagship(
     labels = labels.localCheckpoint(eager=True)
     edges = edges.localCheckpoint(eager=True)
     degrees = degrees.localCheckpoint(eager=True)
-    src = synth_source(spark, sf_dir, max_tables=max_tables)
+    src = synth_source(spark, sf_dir, max_tables=max_tables, include_orders=include_orders)
     run = PipelineRun(
         spark=spark, labels=labels, edges=edges, degrees=degrees,
         checkpoint_dir=checkpoint_dir, k=k, max_gram_df=max_gram_df,
