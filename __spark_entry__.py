@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from table_annotation_spark.operators import dedup as _dedup
 from table_annotation_spark.operators import kg_queries as _kg
 from table_annotation_spark.operators import relational as _rel
+from table_annotation_spark.operators import sessions as _sess
 from table_annotation_spark.operators import similarity as _sim
 from table_annotation_spark.operators import text as _text
 
@@ -43,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_dedup.QUERIES)
     q.update(_sim.QUERIES)
     q.update(_kg.QUERIES)
+    q.update(_sess.QUERIES)
     return q
 
 
@@ -53,4 +55,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(_dedup.ORACLES)
     o.update(_sim.ORACLES)
     o.update(_kg.ORACLES)
+    o.update(_sess.ORACLES)
     return o

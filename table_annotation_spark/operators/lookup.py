@@ -323,12 +323,16 @@ def lookup(
     (annotation_models.py:261-277; we apply it uniformly, NOT replicating the
     reference's iterator-skip bug — documented deviation, SURVEY §3.1.d).
     """
+    from .skew import salted_join
+
     mentions = extract_mentions(body, col_classes).localCheckpoint(eager=True)
     distinct_mentions = mentions.select("mention_norm").distinct()
     pairs = candidate_pairs(distinct_mentions, labels, max_gram_df=max_gram_df)
     cand = score_candidates(pairs, idf, k=k).localCheckpoint(eager=True)
 
-    per_cell = mentions.join(cand, "mention_norm", "left")
+    # head surface forms ("USA") appear in millions of cells but have ≤K
+    # candidates — the classic hot probe key. Salt it explicitly.
+    per_cell = salted_join(mentions, cand, ["mention_norm"], how="left")
 
     # coverage per entity column: fraction of distinct mentions with ≥1 candidate
     cov = (
