@@ -287,3 +287,40 @@ QUERIES = {
     "dedup_simhash": simhash,
     "dedup_embedding_cosine": embedding_cosine_pairs,
 }
+
+
+PREFIX_LEN = 40
+
+
+def prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/prefix dedup: documents sharing the same normalized
+    40-char prefix (the cheap first-pass dedup used before shingling in
+    production pipelines)."""
+    d = _docs(spark, sf_dir)
+    p = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.substring(F.lower(F.trim("text")), 1, PREFIX_LEN).alias("prefix"),
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("prefix")
+    )
+
+
+PREFIX_DEDUP_SQL = f"""
+WITH p AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         substr(lower(trim(text)), 1, {PREFIX_LEN}) AS prefix
+  FROM documents
+)
+SELECT prefix, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS keep_doc_id
+FROM p GROUP BY prefix HAVING count(*) > 1 ORDER BY prefix
+"""
+
+ORACLES["dedup_prefix"] = PREFIX_DEDUP_SQL
+QUERIES["dedup_prefix"] = prefix_dedup

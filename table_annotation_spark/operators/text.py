@@ -195,3 +195,51 @@ QUERIES = {
     "text_lang_id": lang_id,
     "text_doc_fingerprint": doc_fingerprint,
 }
+
+
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language (frequency, ties by bigram asc) —
+    corpus-statistics shape (explode → count → window top-k)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = _tok_expr()
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    g = (
+        d.where(F.size(toks) >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("bigram"))
+    return (
+        g.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 5)
+        .select("lang", "rk", "bigram", "freq")
+        .orderBy("lang", "rk")
+    )
+
+
+NGRAM_TOPK_SQL = """
+WITH toks AS (
+  SELECT lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), bg AS (
+  SELECT lang, t[i] || ' ' || t[i+1] AS bigram
+  FROM (SELECT lang, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks
+        WHERE len(t) >= 2)
+), cnt AS (
+  SELECT lang, bigram, count(*)::BIGINT AS freq FROM bg GROUP BY lang, bigram
+), rk AS (
+  SELECT lang, bigram, freq,
+         row_number() OVER (PARTITION BY lang ORDER BY freq DESC, bigram ASC)::BIGINT AS rk
+  FROM cnt
+)
+SELECT lang, rk, bigram, freq FROM rk WHERE rk <= 5 ORDER BY lang, rk
+"""
+
+ORACLES["text_ngram_topk"] = NGRAM_TOPK_SQL
+QUERIES["text_ngram_topk"] = ngram_topk
