@@ -48,6 +48,10 @@ def synth_source(
             F.floor(F.col("c_acctbal")).cast("bigint").alias("bal"),
         )
     )
+    # numeric cutoff BEFORE paths are formatted — a lexicographic filter on
+    # the path string would keep the wrong table set (nation_2 > nation_10)
+    if max_tables is not None:
+        c = c.where(F.col("n_nationkey") < max_tables)
     lines = c.select(
         "n_nationkey",
         F.col("c_custkey").alias("ord"),
@@ -73,15 +77,15 @@ def synth_source(
         F.lit("csv").alias("lang"),
         "content",
     )
-    if max_tables is not None:
-        src_cust = src_cust.where(F.col("path") < f"data/nation_{max_tables}")
-
     if include_orders:
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
         ol = (
             orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
             .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
-            .select(
+        )
+        if max_tables is not None:
+            ol = ol.where(F.col("n_nationkey") < max_tables)
+        ol = ol.select(
                 "n_nationkey",
                 F.col("o_orderkey").alias("ord"),
                 F.concat_ws(
@@ -89,7 +93,6 @@ def synth_source(
                     F.floor(F.col("o_totalprice")).cast("string"),
                     F.date_format("o_orderdate", "yyyy-MM-dd"),
                 ).alias("line"),
-            )
         )
         src_orders = (
             ol.groupBy("n_nationkey")
@@ -255,9 +258,9 @@ def run_flagship(
     n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     tune_for_input_size(spark, n_cust * 11)  # orders add ~10x the rows
     labels, edges, degrees = synth_kg(spark, sf_dir)
-    labels = labels.localCheckpoint(eager=True)
-    edges = edges.localCheckpoint(eager=True)
-    degrees = degrees.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=False)
+    edges = edges.localCheckpoint(eager=False)
+    degrees = degrees.localCheckpoint(eager=False)
     src = synth_source(spark, sf_dir, max_tables=max_tables, include_orders=include_orders)
     run = PipelineRun(
         spark=spark, labels=labels, edges=edges, degrees=degrees,

@@ -147,10 +147,19 @@ def mixed_fuzzy_score(mention: str, label: str) -> float:
 
 
 def is_partial_exact(mention: str, label: str) -> bool:
-    """Reference partial-exact bypass (es_lookup.py:155-174): high partial
-    overlap with small token-count difference, or high token_set."""
+    """Reference partial-exact bypass (es_lookup.py:140-148): mixed
+    0.9·lower + 0.1·raw partial ratio with small token-count difference, or
+    mixed token_set ratio — the latter only when the two labels have similar
+    lengths (0.5 < len(mention)/len(label) < 2.0), since token_set is noisy
+    on dissimilar lengths."""
     ml, ll = mention.lower(), label.lower()
     token_diff = abs(len(ml.split()) - len(ll.split()))
-    if partial_ratio(ml, ll) > 0.9 and token_diff <= 2:
+    partial_mixed = 0.9 * partial_ratio(ml, ll) + 0.1 * partial_ratio(mention, label)
+    if partial_mixed > 0.9 and token_diff <= 2:
         return True
-    return token_set_ratio(ml, ll) > 0.9
+    if ll and 0.5 < len(ml) / len(ll) < 2.0:
+        ts_mixed = (
+            0.9 * token_set_ratio(ml, ll) + 0.1 * token_set_ratio(mention, label)
+        )
+        return ts_mixed > 0.9
+    return False

@@ -40,38 +40,28 @@ CTA_LEVEL_W = {1: 1.0, 2: 0.7, 3: 0.2}  # annotation_models.py:151
 # --------------------------------------------------------------------- inputs
 @dataclass
 class AnnotInputs:
-    cand: DataFrame        # (table_id,row_idx,col_idx,cell,entity,sim)
-    ecols: DataFrame       # (table_id,col_idx)
-    lcols: DataFrame       # (table_id,col_idx,lit_class)
-    tbl: DataFrame         # (table_id,n_cols,n_data_rows)
-    ecol_pairs: DataFrame  # (table_id,head_col,tail_col) entity-entity, head<tail
-    el_pairs: DataFrame    # (table_id,head_col,tail_col) entity-literal, tail>head
-    row_pairs: DataFrame   # per-row candidate pairs with gated ctx scores
-    pair_rel: DataFrame    # (head_ent,tail_ent,rel,prox) all co-occurring pairs
-    cached_rel: DataFrame  # pair_rel restricted to reliably-connected pairs
-    lit_cpa: DataFrame     # (entity,lit_cell,pid) literal CPA cache
-    lit_cells: DataFrame   # (table_id,row_idx,lit_col,lit_cell)
-    ctx_entries: DataFrame # (t,r,c,entity,ctx_col,ctx_kind,score)
-    ctx_rels: DataFrame    # (t,r,c,entity,ctx_col,rel)
-    types: DataFrame       # (entity,type,level,rank)
-    super_t: DataFrame     # (type,supertype)
-    ent_pids: DataFrame    # (entity,pid)
-    edges: DataFrame
+    cand: DataFrame = None        # (table_id,row_idx,col_idx,cell,entity,sim)
+    ecols: DataFrame = None       # (table_id,col_idx)
+    lcols: DataFrame = None       # (table_id,col_idx,lit_class)
+    tbl: DataFrame = None         # (table_id,n_cols,n_data_rows)
+    ecol_pairs: DataFrame = None  # (table_id,head_col,tail_col) entity-entity, head<tail
+    el_pairs: DataFrame = None    # (table_id,head_col,tail_col) entity-literal, tail>head
+    row_pairs: DataFrame = None   # per-row candidate pairs with gated ctx scores
+    pair_rel: DataFrame = None    # (head_ent,tail_ent,rel,prox) all co-occurring pairs
+    cached_rel: DataFrame = None  # pair_rel restricted to reliably-connected pairs
+    lit_cpa: DataFrame = None     # (entity,lit_cell,pid) literal CPA cache
+    lit_cells: DataFrame = None   # (table_id,row_idx,lit_col,lit_cell)
+    ctx_entries: DataFrame = None # (t,r,c,entity,ctx_col,ctx_kind,score)
+    ctx_rels: DataFrame = None    # (t,r,c,entity,ctx_col,rel)
+    types: DataFrame = None       # (entity,type,level,rank)
+    super_t: DataFrame = None     # (type,supertype)
+    ent_pids: DataFrame = None    # (entity,pid)
+    edges: DataFrame = None
 
 
-def build_inputs(
-    cand: DataFrame,
-    body: DataFrame,
-    col_classes: DataFrame,
-    edges: DataFrame,
-    degrees: DataFrame,
-    multihop: bool = True,
-) -> AnnotInputs:
-    """Assemble all pass-invariant inputs (the scale-heavy KG joins)."""
-    cand = cand.select(
-        "table_id", "row_idx", "col_idx", "cell", "entity",
-        F.col("score").alias("sim"),
-    )
+def _frame_inputs(body: DataFrame, col_classes: DataFrame) -> dict:
+    """Column-pair / table-shape inputs derived from body + column classes
+    alone (no candidates, no KG) — cheap enough to rebuild on resume."""
     ecols = col_classes.where(F.col("col_class") == "entity").select(
         "table_id", "col_idx"
     )
@@ -87,11 +77,50 @@ def build_inputs(
         .join(lcols.select("table_id", F.col("col_idx").alias("tail_col")), "table_id")
         .where(F.col("tail_col") > F.col("head_col"))
     )
-
     tbl = body.groupBy("table_id").agg(
         (F.max("col_idx") + 1).alias("n_cols"),
         F.countDistinct("row_idx").alias("n_data_rows"),
     )
+    lit_cells = (
+        body.withColumnRenamed("cell", "lit_cell")
+        .join(lcols.select("table_id", "col_idx"), ["table_id", "col_idx"])
+        .select("table_id", "row_idx", F.col("col_idx").alias("lit_col"), "lit_cell")
+    )
+    return {
+        "ecols": ecols, "lcols": lcols, "ecol_pairs": ecol_pairs,
+        "el_pairs": el_pairs, "tbl": tbl, "lit_cells": lit_cells,
+    }
+
+
+def build_light_inputs(body: DataFrame, col_classes: DataFrame) -> AnnotInputs:
+    """Just the inputs emit_triples() consumes (ecol_pairs, el_pairs,
+    lit_cells) — used on resume when cea/cta/cpa are already checkpointed and
+    annotate() is skipped entirely."""
+    fr = _frame_inputs(body, col_classes)
+    return AnnotInputs(
+        ecols=fr["ecols"], lcols=fr["lcols"], tbl=fr["tbl"],
+        ecol_pairs=fr["ecol_pairs"], el_pairs=fr["el_pairs"],
+        lit_cells=fr["lit_cells"],
+    )
+
+
+def build_inputs(
+    cand: DataFrame,
+    body: DataFrame,
+    col_classes: DataFrame,
+    edges: DataFrame,
+    degrees: DataFrame,
+    multihop: bool = True,
+) -> AnnotInputs:
+    """Assemble all pass-invariant inputs (the scale-heavy KG joins)."""
+    cand = cand.select(
+        "table_id", "row_idx", "col_idx", "cell", "entity",
+        F.col("score").alias("sim"),
+    )
+    fr = _frame_inputs(body, col_classes)
+    ecols, lcols = fr["ecols"], fr["lcols"]
+    ecol_pairs, el_pairs = fr["ecol_pairs"], fr["el_pairs"]
+    tbl, lit_cells = fr["tbl"], fr["lit_cells"]
 
     pair_rel = _mat(ctx.pair_relations(cand, ecol_pairs, edges, degrees, multihop))
 
@@ -137,11 +166,6 @@ def build_inputs(
 
     lit_match = _mat(ctx.literal_matches(cand, body, col_classes, edges))
     lit_cpa = lit_match.select("entity", "lit_cell", "pid").distinct()
-    lit_cells = (
-        body.withColumnRenamed("cell", "lit_cell")
-        .join(lcols.select("table_id", "col_idx"), ["table_id", "col_idx"])
-        .select("table_id", "row_idx", F.col("col_idx").alias("lit_col"), "lit_cell")
-    )
 
     # context entries: domain = candidate × other entity cols ∪ literal cols ≥ col
     dom_e = cand.join(
@@ -186,23 +210,23 @@ def build_inputs(
     )
     ctx_entries = _mat(ctx_e.unionByName(ctx_l))
 
-    rels_h = (
+    # one reliable-pairs ⋈ pair_rel join, cached, feeding BOTH orientations
+    # (previously computed twice — once per side)
+    rp_rel = _mat(
         row_pairs.where("reliable")
         .join(pair_rel, ["head_ent", "tail_ent"])
-        .select(
-            "table_id", "row_idx", F.col("head_col").alias("col_idx"),
-            F.col("head_ent").alias("entity"), F.col("tail_col").alias("ctx_col"),
-            "rel",
-        )
+        .select("table_id", "row_idx", "head_col", "tail_col",
+                "head_ent", "tail_ent", "rel")
     )
-    rels_t = (
-        row_pairs.where("reliable")
-        .join(pair_rel, ["head_ent", "tail_ent"])
-        .select(
-            "table_id", "row_idx", F.col("tail_col").alias("col_idx"),
-            F.col("tail_ent").alias("entity"), F.col("head_col").alias("ctx_col"),
-            "rel",
-        )
+    rels_h = rp_rel.select(
+        "table_id", "row_idx", F.col("head_col").alias("col_idx"),
+        F.col("head_ent").alias("entity"), F.col("tail_col").alias("ctx_col"),
+        "rel",
+    )
+    rels_t = rp_rel.select(
+        "table_id", "row_idx", F.col("tail_col").alias("col_idx"),
+        F.col("tail_ent").alias("entity"), F.col("head_col").alias("ctx_col"),
+        "rel",
     )
     rels_l = lit_match.select(
         "table_id", "row_idx", "col_idx", "entity",
@@ -700,12 +724,24 @@ class AnnotationResult:
 
 
 def _mat(df: DataFrame) -> DataFrame:
-    """Materialize + truncate lineage at a pass boundary. Without this the
-    4-pass DAG accretes into one enormous Catalyst plan (each pass references
-    several outputs of the previous) and optimization time explodes. On a
-    cluster this maps to a checkpoint to reliable storage between passes
-    (resumability requirement); locally localCheckpoint is sufficient."""
-    return df.localCheckpoint(eager=True)
+    """Mark a multi-consumer intermediate: LAZY localCheckpoint.
+
+    Two properties, both needed:
+    - **Logical-plan truncation** — downstream DataFrames see a LogicalRDD
+      leaf, so analyzer/optimizer cost stays bounded per pass instead of
+      accreting across the 4-pass DAG (a lazy ``persist()`` does NOT give
+      this: cache substitution happens after analysis, so every withColumn
+      re-analyzes the full tree — measured minutes of CheckAnalysis time).
+    - **No blocking job per intermediate** — unlike the old eager variant
+      (r1: ~20 serialized materialization jobs floored 8→32 end-to-end
+      scaling efficiency at 0.29), eager=False defers execution: the shared
+      RDD is computed ONCE inside the first job that needs it (the RDD DAG
+      dedupes stages), checkpointed at that point, and reused by later jobs.
+
+    On a cluster the pass OUTPUTS (cea/cta/cpa) additionally flow through the
+    pipeline's reliable parquet checkpoints for resume; intermediates only
+    need lineage-truncation semantics."""
+    return df.localCheckpoint(eager=False)
 
 
 def annotate(

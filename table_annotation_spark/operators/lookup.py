@@ -232,27 +232,32 @@ def score_candidates(
     fuzzy = _fuzzy_udf()
     pexact = _partial_exact_udf()
 
-    scored = (
-        pairs.withColumn("fuzzy", fuzzy("mention_norm", "label_norm"))
-        .withColumn("pexact", pexact("mention_norm", "label_norm"))
-        .localCheckpoint(eager=True)
-    )
-
-    w_mention = Window.partitionBy("mention_norm")
-    scored = scored.withColumn("max_fuzzy", F.max("fuzzy").over(w_mention)).where(
-        (
-            F.col("fuzzy")
-            >= F.greatest(F.lit(MIN_FUZZY), F.col("max_fuzzy") - ADAPTIVE_MARGIN)
-        )
-        | F.col("pexact")
-    )
-
+    # the reference multiplies the origin factor in BEFORE the adaptive
+    # threshold (es_lookup.py:156-187: ratio *= factor, then max_ratio and
+    # ratio_threshold are computed over the factored ratios) — so both the
+    # per-mention best and the filter operate on fuzzy_w, not raw fuzzy.
     origin_w = (
         F.when(F.col("origin") == "MAIN_ALIAS", ORIGIN_WEIGHTS["MAIN_ALIAS"])
         .when(F.col("origin") == "SUB_ALIAS", ORIGIN_WEIGHTS["SUB_ALIAS"])
         .otherwise(ORIGIN_WEIGHTS["LABEL"])
     )
-    scored = scored.withColumn("fuzzy_w", F.col("fuzzy") * origin_w)
+    scored = (
+        pairs.withColumn("fuzzy", fuzzy("mention_norm", "label_norm"))
+        .withColumn("pexact", pexact("mention_norm", "label_norm"))
+        .withColumn("fuzzy_w", F.col("fuzzy") * origin_w)
+        # lazy: truncate the plan under the UDF without a blocking job; the
+        # four downstream branches share the one checkpointed RDD
+        .localCheckpoint(eager=False)
+    )
+
+    w_mention = Window.partitionBy("mention_norm")
+    scored = scored.withColumn("max_fuzzy", F.max("fuzzy_w").over(w_mention)).where(
+        (
+            F.col("fuzzy_w")
+            >= F.greatest(F.lit(MIN_FUZZY), F.col("max_fuzzy") - ADAPTIVE_MARGIN)
+        )
+        | F.col("pexact")
+    )
 
     # lexical (BM25 stand-in): IDF-weighted token overlap, per-mention max-normalized
     m_tok = scored.select("mention_norm", "entity", "label_norm").withColumn(
@@ -325,21 +330,43 @@ def lookup(
     """
     from .skew import salted_join
 
-    mentions = extract_mentions(body, col_classes).localCheckpoint(eager=True)
+    mentions = extract_mentions(body, col_classes).localCheckpoint(eager=False)
     distinct_mentions = mentions.select("mention_norm").distinct()
     pairs = candidate_pairs(distinct_mentions, labels, max_gram_df=max_gram_df)
-    cand = score_candidates(pairs, idf, k=k).localCheckpoint(eager=True)
+    cand = score_candidates(pairs, idf, k=k).localCheckpoint(eager=False)
 
     # head surface forms ("USA") appear in millions of cells but have ≤K
     # candidates — the classic hot probe key. Salt it explicitly.
     per_cell = salted_join(mentions, cand, ["mention_norm"], how="left")
 
-    # coverage per entity column: fraction of distinct mentions with ≥1 candidate
-    cov = (
-        per_cell.groupBy("table_id", "col_idx", "mention_norm")
-        .agg(F.max(F.col("entity").isNotNull()).alias("has_cand"))
+    # coverage per entity column: fraction of the column's data ROWS whose
+    # cell has ≥1 candidate — the reference computes col_coverage per row over
+    # ALL rows of the column, including short/empty cells that never reached
+    # lookup (annotation_models.py:262-277), so a column dominated by one hot
+    # covered mention stays entity-classed even when its distinct-mention
+    # coverage would be low.
+    ent = col_classes.where(F.col("col_class") == "entity").select(
+        "table_id", "col_idx"
+    )
+    total_rows = (
+        body.join(ent, ["table_id", "col_idx"])
         .groupBy("table_id", "col_idx")
-        .agg(F.avg(F.col("has_cand").cast("double")).alias("coverage"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    cov_rows = (
+        per_cell.where(F.col("entity").isNotNull())
+        .select("table_id", "col_idx", "row_idx")
+        .distinct()
+        .groupBy("table_id", "col_idx")
+        .agg(F.count(F.lit(1)).alias("n_cov"))
+    )
+    cov = (
+        total_rows.join(cov_rows, ["table_id", "col_idx"], "left")
+        .fillna({"n_cov": 0})
+        .select(
+            "table_id", "col_idx",
+            (F.col("n_cov") / F.col("n_rows")).alias("coverage"),
+        )
     )
     kept = cov.where(F.col("coverage") >= min_coverage).select(
         "table_id", "col_idx", "coverage"

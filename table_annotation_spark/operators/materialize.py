@@ -90,66 +90,110 @@ def emit_triples(result: AnnotationResult) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 10
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    check_every: int = 2,
+    checkpoint=None,
 ) -> DataFrame:
     """Hash-min connected components over an undirected edge list.
 
     Returns (node, component) where component = min node id in the component.
-    Iterative small-join: each round propagates the current minimum label
-    across edges; stops early when no label changes. At 100 TB scale this is
-    the standard log-rounds approach; each round is a shuffle on node id.
+    Iterative small-join: each round propagates the current minimum label one
+    hop across edges, so convergence needs O(component diameter) rounds (NOT
+    log-rounds — single-hop min propagation moves the minimum label one edge
+    per round). Mention↔entity bipartite graphs have tiny diameters (a chain
+    of k co-referring mentions has diameter 2k), so the default cap is ample;
+    if a pathological graph exhausts ``max_iter`` a warning is raised rather
+    than silently returning split components.
+
+    ``check_every`` bounds driver-side actions: the convergence check (a
+    blocking job submission per check on a cluster) runs every k-th round
+    instead of every round — labels only ever decrease, so equality across a
+    k-round window proves convergence. ``checkpoint`` lets callers route
+    per-round lineage truncation through reliable storage (the pipeline's
+    parquet checkpoint path) instead of executor-memory localCheckpoint.
     """
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).localCheckpoint(eager=True)
-    labels = (
+    import warnings
+
+    ckpt = checkpoint if checkpoint is not None else (
+        lambda df: df.localCheckpoint(eager=True)
+    )
+    sym = ckpt(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    )
+    labels = ckpt(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    converged = False
+    last_checked = labels
+    for i in range(1, max_iter + 1):
         # candidate labels from neighbors
         neigh = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .select(F.col("a").alias("node"), "component")
         )
-        new_labels = (
+        labels = ckpt(
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)  # truncate per-iteration lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        if i % check_every == 0 or i == max_iter:
+            changed = (
+                labels.alias("n")
+                .join(last_checked.alias("o"), "node")
+                .where(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            last_checked = labels
+            if changed == 0:
+                converged = True
+                break
+    if not converged:
+        warnings.warn(
+            f"connected_components: max_iter={max_iter} exhausted without "
+            "convergence — components with diameter > max_iter are split; "
+            "raise max_iter for long chains",
+            RuntimeWarning,
+            stacklevel=2,
         )
-        labels = new_labels
-        if changed == 0:
-            break
     return labels
 
 
-def canonicalize(triples: DataFrame, cea: DataFrame) -> DataFrame:
+def canonicalize(
+    triples: DataFrame,
+    cea: DataFrame,
+    min_score: float = 0.5,
+    checkpoint=None,
+) -> DataFrame:
     """Mention-dedupe canonicalization (north_star): cluster entities that
     share a normalized mention (sha256-keyed) via connected components, map
     every subject/object to its canonical component id, then distinct.
 
-    cea must carry (mention_norm, entity) pairs — we use the final CEA
-    assignments as the co-reference evidence."""
+    cea must carry (mention_norm, entity, score) — the final CEA assignments
+    are the co-reference evidence. Over-merge guard: a (mention, entity) edge
+    enters the CC graph only when CEA assigned that entity to the mention with
+    confidence ≥ ``min_score`` somewhere. Two entities therefore merge only
+    when the SAME surface form was confidently resolved to both (duplicate
+    ids for one real-world entity); a low-confidence stray assignment of a
+    shared name ("Paris" the person picked at 0.1 in one junk row) cannot
+    collapse unrelated entities into one canonical component. Pinned by
+    tests/test_canonicalize.py."""
     mention_edges = (
-        cea.select(
+        cea.where(F.col("score") >= min_score)
+        .select(
             F.sha2(F.col("mention_norm"), 256).alias("src"),
             F.col("entity").alias("dst"),
         )
         .distinct()
     )
-    cc = connected_components(mention_edges)
+    cc = connected_components(mention_edges, checkpoint=checkpoint)
     ent_canon = cc.withColumnRenamed("node", "entity").withColumnRenamed(
         "component", "canon"
     )

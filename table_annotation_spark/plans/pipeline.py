@@ -66,6 +66,23 @@ class PipelineRun:
     def _load(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self._ckpt_path(stage))
 
+    def _cc_checkpoint(self):
+        """Per-iteration lineage truncation for connected_components: route
+        through reliable parquet storage when a checkpoint_dir exists (a
+        cluster survives executor loss mid-loop), else executor-memory
+        localCheckpoint."""
+        if not self.checkpoint_dir:
+            return None
+        counter = {"i": 0}
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            counter["i"] += 1
+            p = os.path.join(self.checkpoint_dir, "cc", f"iter_{counter['i']}")
+            df.write.mode("overwrite").parquet(p)
+            return self.spark.read.parquet(p)
+
+        return ckpt
+
     # ------------------------------------------------------------ stages
     def run(self, src: DataFrame) -> dict[str, DataFrame]:
         """Execute (or resume) the full pipeline. Returns all stage outputs."""
@@ -78,14 +95,14 @@ class PipelineRun:
             cells = extract_cells(src)
             prep = preprocess_cells(cells)
             if not self.checkpoint_dir:
-                prep = prep.localCheckpoint(eager=True)
+                prep = prep.localCheckpoint(eager=False)
             prep = self._checkpoint("prep", prep)
             self.metrics["prep_sec"] = round(time.time() - t0, 3)
         manifest = extract_manifest(src)
 
-        body = body_cells(prep).localCheckpoint(eager=True)
+        body = body_cells(prep).localCheckpoint(eager=False)
         cols = column_meta(prep)
-        classes = lk.classify_columns(cols, body).localCheckpoint(eager=True)
+        classes = lk.classify_columns(cols, body).localCheckpoint(eager=False)
 
         if self._is_done("candidates"):
             cand = self._load("candidates")
@@ -102,13 +119,26 @@ class PipelineRun:
             self.metrics["lookup_sec"] = round(time.time() - t0, 3)
 
         t0 = time.time()
-        result: AnnotationResult = annotate(
-            cand, body, classes, self.edges, self.degrees,
-            multihop=self.multihop, timings=self.metrics,
-        )
-        cea = self._checkpoint("cea", result.cea)
-        cta = self._checkpoint("cta", result.cta)
-        cpa = self._checkpoint("cpa", result.cpa)
+        if all(self._is_done(s) for s in ("cea", "cta", "cpa")):
+            # all annotation passes checkpointed — skip annotate() entirely;
+            # emit_triples only needs the cheap frame inputs (column pairs,
+            # literal cells), rebuilt without any KG join
+            from ..operators.annotation import build_light_inputs
+
+            cea, cta, cpa = self._load("cea"), self._load("cta"), self._load("cpa")
+            result = AnnotationResult(
+                cea=cea, cta=cta, cpa=cpa,
+                inputs=build_light_inputs(body, classes),
+            )
+            self.metrics["annotate_resumed"] = True
+        else:
+            result = annotate(
+                cand, body, classes, self.edges, self.degrees,
+                multihop=self.multihop, timings=self.metrics,
+            )
+            cea = self._checkpoint("cea", result.cea)
+            cta = self._checkpoint("cta", result.cta)
+            cpa = self._checkpoint("cpa", result.cpa)
         self.metrics["annotate_sec"] = round(time.time() - t0, 3)
 
         t0 = time.time()
@@ -117,7 +147,9 @@ class PipelineRun:
             cand.select("table_id", "row_idx", "col_idx", "entity", "mention_norm"),
             ["table_id", "row_idx", "col_idx", "entity"],
         )
-        triples_canon = with_uris(canonicalize(triples, cea_mentions))
+        triples_canon = with_uris(
+            canonicalize(triples, cea_mentions, checkpoint=self._cc_checkpoint())
+        )
         triples_canon = self._checkpoint("triples", triples_canon)
         self.metrics["materialize_sec"] = round(time.time() - t0, 3)
         self.metrics["total_sec"] = round(time.time() - t_start, 3)

@@ -53,6 +53,25 @@ class TestResume:
         # identical outputs
         assert t1 == t2
 
+    def test_resume_skips_annotation_passes(self, env, monkeypatch):
+        """When cea+cta+cpa checkpoints are all complete, annotate() must not
+        run at all on resume — only triples are re-derived."""
+        os.makedirs(env["ck"], exist_ok=True)
+        run1, t1 = _run(env)
+
+        # simulate a crash after the annotation passes: only triples missing
+        shutil.rmtree(os.path.join(env["ck"], "triples"), ignore_errors=True)
+
+        import table_annotation_spark.plans.pipeline as pl
+
+        def _boom(*a, **k):  # pragma: no cover - must never fire
+            raise AssertionError("annotate() was called despite completed passes")
+
+        monkeypatch.setattr(pl, "annotate", _boom)
+        run2, t2 = _run(env)
+        assert run2.metrics.get("annotate_resumed") is True
+        assert t1 == t2
+
     def test_metrics_file_written(self, env):
         os.makedirs(env["ck"], exist_ok=True)
         run, _ = _run(env)
