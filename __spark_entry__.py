@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from table_annotation_spark.operators import dedup as _dedup
 from table_annotation_spark.operators import kg_queries as _kg
+from table_annotation_spark.operators import multimodal as _mm
 from table_annotation_spark.operators import relational as _rel
 from table_annotation_spark.operators import sessions as _sess
 from table_annotation_spark.operators import similarity as _sim
@@ -45,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_sim.QUERIES)
     q.update(_kg.QUERIES)
     q.update(_sess.QUERIES)
+    q.update(_mm.QUERIES)
     return q
 
 
@@ -56,4 +58,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(_sim.ORACLES)
     o.update(_kg.ORACLES)
     o.update(_sess.ORACLES)
+    o.update(_mm.ORACLES)
     return o

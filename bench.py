@@ -26,9 +26,14 @@ HEADLINE = [
     "rel_pricing_agg", "rel_star_join", "rel_topk_window",
     "rel_twohop_selfjoin", "rel_band_selfjoin", "rel_events_window",
     "text_token_count", "text_quality_score", "text_lang_id",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_lsh_verified",
     "dedup_simhash", "sim_ann_bruteforce", "sim_ann_lsh",
+    "kg_lookup_fuzzy", "kg_typing_ner", "multimodal_features",
 ]
+# dedup_ngram_jaccard (all-pairs gram self-join) is intentionally NOT a
+# headline query: it is the small-corpus oracle twin of
+# dedup_jaccard_lsh_verified, whose LSH-bounded candidate set is the plan
+# that survives 100 TB (VERDICT r1 item 2).
 
 
 def _count(df) -> int:
@@ -72,6 +77,11 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
 
 
 def main() -> None:
+    # local-mode executors live in the driver JVM; the replicated scaling legs
+    # pin ~20 localCheckpointed intermediates (unevictable blocks), so give
+    # the JVM headroom up front (host has 128 GiB; -Xmx is fixed at first
+    # session launch and cannot be raised later in the same process)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -167,18 +177,39 @@ def _kernel_scaling(n_lo: int, n_hi: int) -> dict:
     }
 
 
-def scaling_report(sf_dir: str, n_lo: int = 8, n_hi: int = 32) -> dict:
+def scaling_report(
+    sf_dir: str, n_lo: int = 8, n_hi: int = 32, replicate: int | None = None
+) -> dict:
     """Same flagship job at two parallelism levels (the sandbox proxy for N
     vs 4N executors) + a raw-CPU ceiling calibration + the data-plane kernel
-    scaling measurement."""
+    scaling measurement.
+
+    The scaling legs run the flagship on a REPLICATED input (replicate=4 by
+    default: every synthesized table appears 4× under distinct paths —
+    identical input for both legs). At the default bench size the flagship is
+    driver-latency-bound (86 jobs / ~1600 stages of fixed per-stage cost —
+    BENCH/BASELINE.md), which floors any core-count comparison; on the
+    replicated input per-stage compute dominates and the measurement reflects
+    the data-plane scaling a real cluster sees."""
+    import time as _t
+
+    from table_annotation_spark.flagship import run_flagship
+    from table_annotation_spark.session import get_spark
+
+    replicate = replicate or int(os.environ.get("SPARK_GRAFT_SCALE_REP", "4"))
     scaling = {}
-    for c in (str(n_lo), str(n_hi)):
-        r = run_bench(sf_dir, c)
+    for c in (n_lo, n_hi):
+        spark = get_spark(app_name=f"scale-{c}", master=f"local[{c}]")
+        spark.sparkContext.setLogLevel("ERROR")
+        t0 = _t.time()
+        n = run_flagship(spark, sf_dir, replicate=replicate).count()
+        dt = _t.time() - t0
         scaling[f"local[{c}]"] = {
-            "flagship_sec": r["queries"]["flagship_pipeline"],
-            "triples_per_sec": r["triples_per_sec"],
-            "total_sec": r["total_sec"],
+            "flagship_sec": round(dt, 1),
+            "triples": n,
+            "triples_per_sec": round(n / dt, 1),
         }
+        spark.stop()
     t_lo = scaling[f"local[{n_lo}]"]["flagship_sec"]
     t_hi = scaling[f"local[{n_hi}]"]["flagship_sec"]
     factor = n_hi / n_lo
@@ -186,6 +217,7 @@ def scaling_report(sf_dir: str, n_lo: int = 8, n_hi: int = 32) -> dict:
     speedup = round(t_lo / t_hi, 3)
     return {
         "scaling": scaling,
+        "scaling_replicate": replicate,
         "scaling_speedup": speedup,
         "scaling_efficiency": round(speedup / factor, 3),
         "machine_cpu_ceiling_speedup": ceiling,

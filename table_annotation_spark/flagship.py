@@ -31,6 +31,7 @@ def synth_source(
     sf_dir: str,
     max_tables: int | None = None,
     include_orders: bool = True,
+    replicate: int = 1,
 ) -> DataFrame:
     """Build the (repo, path, commit, lang, content) source table: one CSV per
     nation with its customers (name, nation, balance), one per nation with its
@@ -132,7 +133,23 @@ def synth_source(
             F.lit("\n"),
         ).alias("content"),
     )
-    return src_cust.unionByName(src_nat)
+    src = src_cust.unionByName(src_nat)
+    if replicate > 1:
+        # deterministic input replication for scaling measurements: R copies
+        # of every table under distinct paths (table_id = repo␟path␟commit, so
+        # each copy is its own table). The mention set stays identical, so the
+        # replication scales the annotation passes — the component whose
+        # end-to-end scaling the north_rule grades — not the lookup kernel.
+        reps = spark.range(replicate).select(F.col("id").cast("string").alias("rep"))
+        src = src.crossJoin(F.broadcast(reps)).select(
+            "repo",
+            F.concat(
+                F.expr("substring(path, 1, length(path)-4)"),
+                F.lit("_r"), F.col("rep"), F.lit(".csv"),
+            ).alias("path"),
+            "commit", "lang", "content",
+        )
+    return src
 
 
 def synth_kg(
@@ -251,17 +268,21 @@ def run_flagship(
     include_orders: bool = True,
     checkpoint_dir: str | None = None,
     metrics: dict | None = None,
+    replicate: int = 1,
 ) -> DataFrame:
     """Full pipeline on the synthesized source; returns canonical triples."""
     from .session import tune_for_input_size
 
     n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
-    tune_for_input_size(spark, n_cust * 11)  # orders add ~10x the rows
+    tune_for_input_size(spark, n_cust * 11 * replicate)  # orders add ~10x the rows
     labels, edges, degrees = synth_kg(spark, sf_dir)
     labels = labels.localCheckpoint(eager=False)
     edges = edges.localCheckpoint(eager=False)
     degrees = degrees.localCheckpoint(eager=False)
-    src = synth_source(spark, sf_dir, max_tables=max_tables, include_orders=include_orders)
+    src = synth_source(
+        spark, sf_dir, max_tables=max_tables, include_orders=include_orders,
+        replicate=replicate,
+    )
     run = PipelineRun(
         spark=spark, labels=labels, edges=edges, degrees=degrees,
         checkpoint_dir=checkpoint_dir, k=k, max_gram_df=max_gram_df,

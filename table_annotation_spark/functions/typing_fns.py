@@ -165,11 +165,13 @@ def phone_typing(cell: str) -> str | None:
     return None
 
 
-def type_cell(cell: str) -> str:
+def type_cell(cell: str, ner=None) -> str:
     """Full typing cascade for one cell — text_parser semantics
     (preprocessing/prp_scripts/utils.py:64-112): empty/punct/1-char cells are
     skipped (None), >70-char cells are UNKNOWN, else regex → unit → phone →
-    (spaCy if present) → UNKNOWN."""
+    NER → UNKNOWN. ``ner`` is the F10 slot (cell → concept label or None):
+    a deterministic lexicon/rule NER (functions/ner.py) or the spaCy plug
+    when a model is available."""
     s = cell.strip()
     if not s or len(s) <= 1 or _RE_PUNCT_ONLY.match(s):
         return ""
@@ -184,6 +186,10 @@ def type_cell(cell: str) -> str:
     t = phone_typing(s)
     if t:
         return t
+    if ner is not None:
+        t = ner(s)
+        if t:
+            return t
     return "UNKNOWN"
 
 

@@ -113,10 +113,16 @@ def build_inputs(
     multihop: bool = True,
 ) -> AnnotInputs:
     """Assemble all pass-invariant inputs (the scale-heavy KG joins)."""
+    # ONE upfront exchange on table_id: every annotation-side join, groupBy
+    # and window clusters on (table_id, ...), and HashPartitioning(table_id)
+    # satisfies clustering on any superset of keys — so this single shuffle
+    # replaces the per-operator exchanges across all four passes (the small
+    # dims that join in are explicitly broadcast below; lazily-checkpointed
+    # frames carry no stats, so auto-broadcast never fires with AQE off).
     cand = cand.select(
         "table_id", "row_idx", "col_idx", "cell", "entity",
         F.col("score").alias("sim"),
-    )
+    ).repartition("table_id")
     fr = _frame_inputs(body, col_classes)
     ecols, lcols = fr["ecols"], fr["lcols"]
     ecol_pairs, el_pairs = fr["ecol_pairs"], fr["el_pairs"]
@@ -138,7 +144,7 @@ def build_inputs(
     best = pair_rel.groupBy("head_ent", "tail_ent").agg(F.max("prox").alias("best_prox"))
     rp = (
         h.join(t, ["table_id", "row_idx"])
-        .join(ecol_pairs, ["table_id", "head_col", "tail_col"])
+        .join(F.broadcast(ecol_pairs), ["table_id", "head_col", "tail_col"])
         .where(F.col("head_ent") != F.col("tail_ent"))
         .join(best, ["head_ent", "tail_ent"], "left")
     )
@@ -254,7 +260,7 @@ def entity_scores_pass1(inp: AnnotInputs) -> DataFrame:
     column the context loop contributes nothing (cpa_annot empty) →
     score = 0.1·sim; single-column tables → sim
     (annotation_models.py:782-798)."""
-    return inp.cand.join(inp.tbl, "table_id").select(
+    return inp.cand.join(F.broadcast(inp.tbl), "table_id").select(
         "table_id", "row_idx", "col_idx", "entity", "sim",
         F.when(F.col("n_cols") > 1, 0.1 * F.col("sim"))
         .otherwise(F.col("sim"))
@@ -284,7 +290,7 @@ def update_context_weights(inp: AnnotInputs, cpa: DataFrame) -> DataFrame:
         F.col("coverage").alias("cpa_cov"), F.col("prox").alias("cpa_prox"),
     )
     min_ecol = inp.ecols.groupBy("table_id").agg(F.min("col_idx").alias("min_ecol"))
-    e = entries.join(top_cpa, ["table_id", "head_col", "tail_col"], "left").join(
+    e = entries.join(F.broadcast(top_cpa), ["table_id", "head_col", "tail_col"], "left").join(
         F.broadcast(min_ecol), "table_id"
     )
     df_col = 1.0 / (
@@ -324,13 +330,14 @@ def entity_scores_soft(
     e = weighted_entries
     if unrelated_pairs is not None:
         e = e.join(
-            unrelated_pairs, ["table_id", "head_col", "tail_col"], "left_anti"
+            F.broadcast(unrelated_pairs), ["table_id", "head_col", "tail_col"],
+            "left_anti",
         )
     cpa_k = cpa.select(
         "table_id", "head_col", "tail_col", "rel", "coverage", "prox", "rank"
     )
     considered = e.join(
-        cpa_k.select("table_id", "head_col", "tail_col").distinct(),
+        F.broadcast(cpa_k.select("table_id", "head_col", "tail_col").distinct()),
         ["table_id", "head_col", "tail_col"],
     )
 
@@ -339,7 +346,7 @@ def entity_scores_soft(
     rel_match = (
         considered.select(*key, "head_col", "tail_col")
         .join(inp.ctx_rels.withColumnRenamed("rel", "ctx_rel"), key)
-        .join(cpa_k, ["table_id", "head_col", "tail_col"])
+        .join(F.broadcast(cpa_k), ["table_id", "head_col", "tail_col"])
         .where(F.col("rel") == F.col("ctx_rel"))
         .groupBy(*key)
         .agg(F.min(F.struct("rank", "coverage", "prox")).alias("m"))
@@ -356,7 +363,7 @@ def entity_scores_soft(
         F.max("weight").alias("max_w"),
     )
     cand_key = ["table_id", "row_idx", "col_idx", "entity"]
-    s = inp.cand.join(agg, cand_key, "left").join(inp.tbl, "table_id")
+    s = inp.cand.join(agg, cand_key, "left").join(F.broadcast(inp.tbl), "table_id")
     ctx_score = F.when(
         F.col("den").isNotNull() & (F.col("den") > 0), F.col("num") / F.col("den")
     ).otherwise(0.01)
@@ -390,7 +397,7 @@ def entity_scores_soft(
     cand_pairs = considered.select(
         *cand_key, "ctx_col", "ctx_kind", "head_col", "tail_col"
     ).distinct()
-    pc = cand_pairs.join(cpa_k, ["table_id", "head_col", "tail_col"]).where(
+    pc = cand_pairs.join(F.broadcast(cpa_k), ["table_id", "head_col", "tail_col"]).where(
         ~F.col("rel").contains("::")
     )
     is_tail = (F.col("ctx_kind") == "entity") & (F.col("ctx_col") < F.col("col_idx"))
@@ -432,7 +439,7 @@ def cea_task(
         # candidate's own 3-level types
         cmatch = (
             s.select(*cand_key)
-            .join(cta_c, ["table_id", "col_idx"])
+            .join(F.broadcast(cta_c), ["table_id", "col_idx"])
         )
         own = inp.types.select(
             F.col("entity"), F.col("type").alias("cta_type"),
@@ -475,7 +482,7 @@ def cea_task(
         )
         s = (
             s.join(disamb, cand_key, "left")
-            .join(cov_mean, ["table_id", "col_idx"], "left")
+            .join(F.broadcast(cov_mean), ["table_id", "col_idx"], "left")
             .fillna({"cta_d": 0.0})
         )
         if contextless is not None:
@@ -539,7 +546,8 @@ def cpa_task(
     )
     if unrelated_pairs is not None:
         pairs = pairs.join(
-            unrelated_pairs, ["table_id", "head_col", "tail_col"], "left_anti"
+            F.broadcast(unrelated_pairs), ["table_id", "head_col", "tail_col"],
+            "left_anti",
         )
 
     head = cea.select(
@@ -553,8 +561,10 @@ def cpa_task(
 
     # entity-tail votes
     je = (
-        pairs.where(F.col("tail_kind") == "entity")
-        .join(head, ["table_id", "head_col"])
+        head.join(
+            F.broadcast(pairs.where(F.col("tail_kind") == "entity")),
+            ["table_id", "head_col"],
+        )
         .join(tail_e, ["table_id", "row_idx", "tail_col"])
         .join(inp.cached_rel, ["head_ent", "tail_ent"])
     )
@@ -566,8 +576,10 @@ def cpa_task(
     # literal-tail votes: tail "candidate" = raw mention with conf 0,
     # relation from the literal CPA cache keyed (entity, mention)
     jl = (
-        pairs.where(F.col("tail_kind") == "literal")
-        .join(head, ["table_id", "head_col"])
+        head.join(
+            F.broadcast(pairs.where(F.col("tail_kind") == "literal")),
+            ["table_id", "head_col"],
+        )
         .join(
             inp.lit_cpa.select(
                 F.col("entity").alias("head_ent"), "lit_cell",
@@ -620,7 +632,7 @@ def cpa_task(
         kept = ranked.where(F.col("cnt") * F.col("total") >= F.col("top_ct"))
     else:
         kept = ranked.where(F.col("cnt") >= F.col("top_cnt"))
-    return kept.join(inp.tbl, "table_id").select(
+    return kept.join(F.broadcast(inp.tbl), "table_id").select(
         "table_id", "head_col", "tail_col", "rel",
         (F.col("total") / F.col("n_data_rows")).alias("score"),
         (F.col("cnt") / F.col("n_data_rows")).alias("coverage"),
@@ -680,7 +692,7 @@ def cta_task(inp: AnnotInputs, cea: DataFrame, only_one: bool) -> DataFrame:
         kept = top.unionByName(extra)
     else:
         kept = ranked.where(F.col("cnt") >= F.col("top_cnt"))
-    return kept.join(inp.tbl, "table_id").select(
+    return kept.join(F.broadcast(inp.tbl), "table_id").select(
         "table_id", "col_idx", "type",
         (F.col("total") / F.col("n_data_rows")).alias("score"),
         (F.col("cnt") / F.col("n_data_rows")).alias("coverage"),
@@ -698,7 +710,7 @@ def literal_context_restriction(inp: AnnotInputs, cpa: DataFrame) -> DataFrame:
         "table_id", "head_col", "tail_col", "coverage"
     )
     lit_pairs = inp.el_pairs
-    j = lit_pairs.join(top, ["table_id", "head_col", "tail_col"], "left").fillna(
+    j = lit_pairs.join(F.broadcast(top), ["table_id", "head_col", "tail_col"], "left").fillna(
         {"coverage": -1.0}
     )
     w = Window.partitionBy("table_id", "tail_col").orderBy(
@@ -708,7 +720,7 @@ def literal_context_restriction(inp: AnnotInputs, cpa: DataFrame) -> DataFrame:
     # match_column exists only when some coverage > 0
     keep = ranked.where((F.col("r") == 1) & (F.col("coverage") > 0))
     return lit_pairs.join(
-        keep.select("table_id", "head_col", "tail_col"),
+        F.broadcast(keep.select("table_id", "head_col", "tail_col")),
         ["table_id", "head_col", "tail_col"],
         "left_anti",
     )

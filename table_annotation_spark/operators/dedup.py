@@ -190,6 +190,94 @@ ORDER BY doc_a, doc_b
 """
 
 
+def jaccard_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup: exact word-3-gram Jaccard computed ONLY over the
+    MinHash-LSH candidate pairs (band-bucket join), instead of regenerating
+    the quadratic pair space from shared grams. This is the 100 TB shape:
+    candidate generation is the banded LSH join (linear in corpus + bucket
+    collisions), and the expensive exact verify touches only those pairs.
+    The all-pairs ``ngram_jaccard_pairs`` stays as the small-corpus twin.
+    """
+    d = _docs(spark, sf_dir)
+    g = _doc_ngrams(d)
+    # candidate pairs from the banded signatures (same plan as minhash_lsh_pairs)
+    mins = g.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("gram")))).alias(f"h{s}")
+            for s in range(MINHASH_SEEDS)
+        ]
+    )
+    band0 = F.md5(F.concat_ws("|", "h0", "h1", "h2", "h3"))
+    band1 = F.md5(F.concat_ws("|", "h4", "h5", "h6", "h7"))
+    banded = mins.select(
+        "doc_id", F.explode(F.array(band0, band1)).alias("bucket")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), "bucket")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verify on the candidates only: intersect FULL gram sets (no hot-
+    # gram cap needed — the pair set is already bounded by the LSH buckets)
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ga = g.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = g.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .where(
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            >= JACCARD_THRESHOLD
+        )
+    )
+    return j.select(
+        "doc_a", "doc_b",
+        F.col("inter").cast("bigint").alias("shared_grams"),
+    ).orderBy("doc_a", "doc_b")
+
+
+JACCARD_LSH_VERIFIED_SQL = f"""
+WITH grams AS ({_NGRAMS_SQL}),
+sig AS (
+  SELECT doc_id,
+         {', '.join(f"min(md5('{s}:' || gram)) AS h{s}" for s in range(MINHASH_SEEDS))}
+  FROM grams GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS bucket FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, inter::BIGINT AS shared_grams
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document from token md5s: bit j = majority of the
     high bit of hex digit j across tokens (hex digit ≥ '8')."""
@@ -275,6 +363,7 @@ ORDER BY vec_a, vec_b
 ORACLES = {
     "dedup_exact": EXACT_DEDUP_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_jaccard_lsh_verified": JACCARD_LSH_VERIFIED_SQL,
     "dedup_minhash_lsh": MINHASH_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "dedup_embedding_cosine": EMBEDDING_COSINE_SQL,
@@ -283,6 +372,7 @@ ORACLES = {
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
+    "dedup_jaccard_lsh_verified": jaccard_lsh_verified,
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_simhash": simhash,
     "dedup_embedding_cosine": embedding_cosine_pairs,

@@ -54,6 +54,77 @@ ORDER BY row_idx, col_idx
 """
 
 
+def cells_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table segmentation (S2/S3 analogue) under the DuckDB gate: ONE
+    content string holds two concatenated CSVs separated by a blank line
+    (nations table, then regions table); the extractor must emit two table_ids
+    (sha256(repo␟path␟commit␟k)) with per-segment re-based row indices. The
+    oracle restates both grids and the segment ids in SQL."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+
+    nat_csv = nat.orderBy("n_nationkey").select(
+        F.concat_ws(",", "n_name", F.col("n_nationkey").cast("string")).alias("line")
+    ).groupBy().agg(
+        F.concat(
+            F.lit("nation,key\n"), F.concat_ws("\n", F.collect_list("line"))
+        ).alias("part_n")
+    )
+    reg_csv = reg.orderBy("r_regionkey").select(
+        F.concat_ws(",", "r_name", F.col("r_regionkey").cast("string")).alias("line")
+    ).groupBy().agg(
+        F.concat(
+            F.lit("region,key\n"), F.concat_ws("\n", F.collect_list("line"))
+        ).alias("part_r")
+    )
+    src = nat_csv.crossJoin(reg_csv).select(
+        F.lit("tpch/geo").alias("repo"),
+        F.lit("data/multi.csv").alias("path"),
+        F.lit("a" * 40).alias("commit"),
+        F.lit("csv").alias("lang"),
+        F.concat(F.col("part_n"), F.lit("\n\n"), F.col("part_r"), F.lit("\n")).alias("content"),
+    )
+    return (
+        extract_cells(src)
+        .select(
+            "table_id",
+            F.col("row_idx").cast("bigint").alias("row_idx"),
+            F.col("col_idx").cast("bigint").alias("col_idx"),
+            "cell",
+        )
+        .orderBy("table_id", "row_idx", "col_idx")
+    )
+
+
+CELLS_MULTITABLE_SQL = """
+WITH ids AS (
+  SELECT sha256('tpch/geo' || chr(31) || 'data/multi.csv' || chr(31) ||
+                repeat('a', 40) || chr(31) || '0') AS t0,
+         sha256('tpch/geo' || chr(31) || 'data/multi.csv' || chr(31) ||
+                repeat('a', 40) || chr(31) || '1') AS t1
+),
+n AS (
+  SELECT n_name, n_nationkey,
+         row_number() OVER (ORDER BY n_nationkey) AS rn
+  FROM nation
+),
+r AS (
+  SELECT r_name, r_regionkey,
+         row_number() OVER (ORDER BY r_regionkey) AS rn
+  FROM region
+)
+SELECT t0 AS table_id, 0::BIGINT AS row_idx, 0::BIGINT AS col_idx, 'nation' AS cell FROM ids
+UNION ALL SELECT t0, 0::BIGINT, 1::BIGINT, 'key' FROM ids
+UNION ALL SELECT t0, rn::BIGINT, 0::BIGINT, n_name FROM n, ids
+UNION ALL SELECT t0, rn::BIGINT, 1::BIGINT, n_nationkey::VARCHAR FROM n, ids
+UNION ALL SELECT t1, 0::BIGINT, 0::BIGINT, 'region' FROM ids
+UNION ALL SELECT t1, 0::BIGINT, 1::BIGINT, 'key' FROM ids
+UNION ALL SELECT t1, rn::BIGINT, 0::BIGINT, r_name FROM r, ids
+UNION ALL SELECT t1, rn::BIGINT, 1::BIGINT, r_regionkey::VARCHAR FROM r, ids
+ORDER BY table_id, row_idx, col_idx
+"""
+
+
 def lookup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real lookup scoring path (exact-norm blocking, fuzzy UDF, adaptive
     threshold, origin/PR/lexical scoring, top-K window) over customer-name
@@ -78,6 +149,85 @@ SELECT DISTINCT lower(trim(c_name)) AS mention_norm,
        'Q' || (c_custkey + 3000000)::VARCHAR AS entity
 FROM customer
 ORDER BY mention_norm
+"""
+
+
+def lookup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRIGRAM blocking + fuzzy re-scoring path under the DuckDB gate:
+    every customer-name mention is systematically typo'd (leading 'c' →
+    'k', so no exact label_norm match exists and candidates can only arrive
+    through the gram join), then scored by the full fuzzy/adaptive/top-K
+    machinery. Ground truth: each typo'd name still resolves to its own
+    entity — the intended label is strictly closest (one substitution =
+    indel 2; any other customer label differs in ≥1 digit as well)."""
+    labels, _, _ = synth_kg(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    mentions = cust.select(
+        F.regexp_replace(F.lower(F.trim("c_name")), "^c", "k").alias("mention_norm")
+    ).distinct()
+    pairs = lk.candidate_pairs(mentions, labels)  # no exact path hits; gram join
+    scored = lk.score_candidates(pairs, lk.token_idf(labels), k=1)
+    w = Window.partitionBy("mention_norm").orderBy(F.desc("score"), F.asc("entity"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("mention_norm", "entity")
+        .orderBy("mention_norm")
+    )
+
+
+LOOKUP_FUZZY_SQL = """
+SELECT DISTINCT regexp_replace(lower(trim(c_name)), '^c', 'k') AS mention_norm,
+       'Q' || (c_custkey + 3000000)::VARCHAR AS entity
+FROM customer
+ORDER BY mention_norm
+"""
+
+
+def typing_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 under the DuckDB gate: the FULL typing cascade with the
+    deterministic lexicon/rule NER plugged in, over a mixed-text column that
+    regex/unit/phone typing alone CANNOT decide — nation names (gazetteer →
+    GPE), region names (gazetteer → LOC) and honorific-prefixed customer
+    names (rule → PERSON). The gazetteer is built from the small geo dims and
+    broadcast (the scale shape for any lexicon NER)."""
+    from ..functions.ner import make_lexicon_ner, typing_with_ner_batches
+    from pyspark.sql.types import StringType
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    gaz = {r["n_name"].strip().lower(): "GPE" for r in nat.select("n_name").collect()}
+    gaz.update(
+        {r["r_name"].strip().lower(): "LOC" for r in reg.select("r_name").collect()}
+    )
+    gaz_bc = spark.sparkContext.broadcast(gaz)
+
+    def _ner(cell: str):
+        return make_lexicon_ner(gaz_bc.value)(cell)
+
+    typing_udf = F.pandas_udf(typing_with_ner_batches(_ner), StringType())
+
+    cells = (
+        nat.select(F.col("n_name").alias("cell"))
+        .unionByName(reg.select(F.col("r_name").alias("cell")))
+        .unionByName(cust.select(F.concat(F.lit("Dr. "), "c_name").alias("cell")))
+    )
+    return cells.select("cell", typing_udf("cell").alias("typing")).orderBy("cell")
+
+
+TYPING_NER_SQL = """
+WITH cells AS (
+  SELECT n_name AS cell FROM nation
+  UNION ALL SELECT r_name FROM region
+  UNION ALL SELECT 'Dr. ' || c_name FROM customer
+)
+SELECT cell,
+       CASE WHEN lower(trim(cell)) IN (SELECT lower(trim(n_name)) FROM nation) THEN 'GPE'
+            WHEN lower(trim(cell)) IN (SELECT lower(trim(r_name)) FROM region) THEN 'LOC'
+            ELSE 'PERSON' END AS typing
+FROM cells ORDER BY cell
 """
 
 
@@ -111,12 +261,18 @@ ORDER BY 1, 2, 3
 
 ORACLES = {
     "kg_cells_extract": CELLS_EXTRACT_SQL,
+    "kg_cells_multitable": CELLS_MULTITABLE_SQL,
     "kg_lookup_exact": LOOKUP_EXACT_SQL,
+    "kg_lookup_fuzzy": LOOKUP_FUZZY_SQL,
+    "kg_typing_ner": TYPING_NER_SQL,
     "kg_flagship_triples": FLAGSHIP_TRIPLES_SQL,
 }
 
 QUERIES = {
     "kg_cells_extract": cells_extract,
+    "kg_cells_multitable": cells_multitable,
     "kg_lookup_exact": lookup_exact,
+    "kg_lookup_fuzzy": lookup_fuzzy,
+    "kg_typing_ner": typing_ner,
     "kg_flagship_triples": flagship_triples,
 }

@@ -97,6 +97,73 @@ def extract_features(media: DataFrame, on_error: str = "skip") -> DataFrame:
     ).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+# ------------------------------------------------------------- driver gate
+def multimodal_features(spark, sf_dir: str) -> DataFrame:
+    """The multimodal pipeline under the DuckDB value-hash gate: synthesize a
+    media table from documents (payload = UTF-8 bytes of text, kind cycling
+    image/audio/video), run the REAL mapInPandas feature extraction, and emit
+    byte-count, sha256 and the 16 u16 feature components (the deterministic
+    stub decoder derives them from the digest, so the whole derivation is
+    restatable in SQL). Empty payloads exercise the corrupt-row skip path."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    media = d.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        kind.alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    feats = extract_features(media, on_error="skip")
+    return feats.select(
+        "media_id", "kind", "n_bytes", "sha256",
+        F.array_join(
+            F.transform(
+                "feature",
+                lambda x: F.round(x * 65535).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("feature_u16"),
+    ).orderBy("media_id")
+
+
+def _mm_sql() -> str:
+    # u16 little-endian pairs of the sha256 digest, restated over the hex
+    # string: byte k = 16*hex[2k] + hex[2k+1]; u16 j = byte(2j) + 256*byte(2j+1)
+    def hexval(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+
+    def byte(k: int) -> str:
+        return f"(16*{hexval(2 * k + 1)} + {hexval(2 * k + 2)})"
+
+    u16s = [f"CAST({byte(2 * j)} + 256*{byte(2 * j + 1)} AS VARCHAR)"
+            for j in range(FEATURE_DIM)]
+    feature = " || ',' || ".join(u16s)
+    return f"""
+WITH m AS (
+  SELECT doc_id::BIGINT AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text))::BIGINT AS n_bytes,
+         sha256(text) AS h
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+)
+SELECT media_id, kind, n_bytes, h AS sha256, {feature} AS feature_u16
+FROM m ORDER BY media_id
+"""
+
+
+MULTIMODAL_FEATURES_SQL = _mm_sql()
+
+ORACLES = {"multimodal_features": MULTIMODAL_FEATURES_SQL}
+QUERIES = {"multimodal_features": multimodal_features}
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize plumbing: passes metadata through, marks the payload as
     resized (payload transformation stubbed — NotImplemented on real decode).

@@ -97,10 +97,17 @@ def _datatype_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
         )
 
 
-def type_cells(cells: DataFrame, cell_col: str = "cell") -> DataFrame:
+def type_cells(cells: DataFrame, cell_col: str = "cell", ner=None) -> DataFrame:
     """P7/P8 relationally: DISTINCT cells → typing/datatype UDFs → join back.
-    Adds ``cell_typing`` and ``cell_datatype`` columns."""
-    typing_udf = F.pandas_udf(_typing_batches, StringType())
+    Adds ``cell_typing`` and ``cell_datatype`` columns. ``ner`` plugs the F10
+    slot (functions/ner.py) into the cascade; None keeps the regex/unit/phone
+    cascade alone."""
+    if ner is not None:
+        from ..functions.ner import typing_with_ner_batches
+
+        typing_udf = F.pandas_udf(typing_with_ner_batches(ner), StringType())
+    else:
+        typing_udf = F.pandas_udf(_typing_batches, StringType())
     dt_udf = F.pandas_udf(_datatype_batches, StringType())
     distinct = cells.select(F.col(cell_col).alias("_cell")).distinct()
     typed = distinct.withColumn("_typing", typing_udf(F.col("_cell"))).withColumn(
@@ -170,14 +177,14 @@ def _prep_one_table(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(cols)
 
 
-def preprocess_cells(cells: DataFrame) -> DataFrame:
+def preprocess_cells(cells: DataFrame, ner=None) -> DataFrame:
     """cells(table_id, content_sha256, row_idx, col_idx, cell) → denormalized
     preprocessed cells + per-table/per-column metadata (PREP_SCHEMA).
 
     Big-table guard: tables >400 rows are deterministically sampled for the
     *decision* pass like the reference (table_preprocessing.py:50-55) — but
     deterministic (first 10 + lowest-hash 390), not random."""
-    typed = type_cells(fix_encoding(cells))
+    typed = type_cells(fix_encoding(cells), ner=ner)
     return typed.groupBy("table_id").applyInPandas(_prep_one_table, schema=PREP_SCHEMA)
 
 

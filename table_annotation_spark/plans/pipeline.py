@@ -100,7 +100,9 @@ class PipelineRun:
             self.metrics["prep_sec"] = round(time.time() - t0, 3)
         manifest = extract_manifest(src)
 
-        body = body_cells(prep).localCheckpoint(eager=False)
+        # pre-partition by table_id once: the annotation passes cluster every
+        # join/groupBy/window on (table_id, ...) and reuse this partitioning
+        body = body_cells(prep).repartition("table_id").localCheckpoint(eager=False)
         cols = column_meta(prep)
         classes = lk.classify_columns(cols, body).localCheckpoint(eager=False)
 

@@ -25,11 +25,15 @@ def tune_for_input_size(spark: SparkSession, approx_rows: int) -> None:
     if approx_rows < 1_000_000:
         # Latency-bound regime: per-task overhead dominates per-task compute,
         # so MORE tasks per stage is strictly worse (measured at sf0.1:
-        # 16 partitions → 236 s, 64 partitions → 576 s on local[32]).
-        # AQE off for the same reason (per-exchange re-planning is serial
-        # driver time). At ≥1M rows AQE + default partitioning win.
+        # 16 partitions → 236 s, 64 partitions → 576 s on local[32] in the
+        # serialized-job regime; re-validated after job fusion — see
+        # BENCH/BASELINE.md). AQE off for the same reason (per-exchange
+        # re-planning is serial driver time). At ≥1M rows AQE + default
+        # partitioning win. SPARK_GRAFT_SHUFFLE_OVERRIDE pins an explicit
+        # value for scaling experiments.
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        parts = min(16, max(4, approx_rows // 2000))
+        override = os.environ.get("SPARK_GRAFT_SHUFFLE_OVERRIDE")
+        parts = int(override) if override else min(16, max(4, approx_rows // 2000))
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     else:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -59,6 +63,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # broadcast sides are deliberately computed subtrees (small dims
+        # derived from lazily-checkpointed intermediates); their first
+        # evaluation can pull a long upstream chain, so the 5-min default
+        # timeout is too tight under load
+        .config("spark.sql.broadcastTimeout", "3600")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -77,36 +77,117 @@ def _sniff_delimiter(text: str) -> str:
         return best
 
 
-def parse_content_to_grid(path: str, lang: str, content: str) -> list[list[str]] | None:
-    """One embedded document → 2D grid of strings, or None if not tabular."""
+def _is_table(grid: list[list[str]]) -> bool:
+    return len(grid) >= 2 and max((len(r) for r in grid), default=0) >= 2
+
+
+def _row_blank(row: list[str]) -> bool:
+    return all((c or "").strip() == "" for c in row)
+
+
+def _split_blank_rows(rows: list[list[str]]) -> list[list[list[str]]]:
+    """S3 analogue (file_loader.py:140-161): truly BLANK LINES (csv.reader
+    yields []) split the document into vertically stacked blocks. A row of
+    empty CELLS (';;') is NOT a separator — it stays in the table for the
+    P1 empty-row drop in preprocessing, matching the reference's split
+    (empty spreadsheet line) vs clean (empty-valued row) distinction."""
+    blocks, cur = [], []
+    for r in rows:
+        if not r:
+            if cur:
+                blocks.append(cur)
+                cur = []
+        else:
+            cur.append(r)
+    if cur:
+        blocks.append(cur)
+    return blocks
+
+
+def _split_blank_cols(block: list[list[str]]) -> list[list[list[str]]]:
+    """S2 analogue (file_loader.py:79-138 mask-CC over non-empty cells, for
+    the rectangular side-by-side layout): fully-empty columns split a block
+    into horizontally adjacent sub-tables. Applied only when it yields ≥2
+    table-ish blocks — a stray empty column inside a single table is left for
+    preprocessing's null-column drop (P4)."""
+    width = max((len(r) for r in block), default=0)
+    blank_col = [
+        all(ci >= len(r) or (r[ci] or "").strip() == "" for r in block)
+        for ci in range(width)
+    ]
+    spans, start = [], None
+    for ci in range(width):
+        if blank_col[ci]:
+            if start is not None:
+                spans.append((start, ci))
+                start = None
+        elif start is None:
+            start = ci
+    if start is not None:
+        spans.append((start, width))
+    if len(spans) <= 1:
+        return [block]
+    subs = [
+        [[(r[ci] if ci < len(r) else "") for ci in range(lo, hi)] for r in block]
+        for lo, hi in spans
+    ]
+    if sum(1 for s in subs if _is_table(s)) >= 2:
+        return subs
+    return [block]
+
+
+def segment_grids(rows: list[list[str]]) -> list[list[list[str]]]:
+    """Blank-row then blank-column segmentation; returns the table-ish
+    segments in reading order (top→bottom, left→right)."""
+    out = []
+    for block in _split_blank_rows(rows):
+        for sub in _split_blank_cols(block):
+            if _is_table(sub):
+                out.append(sub)
+    return out
+
+
+def parse_content_to_grids(
+    path: str, lang: str, content: str
+) -> list[list[list[str]]]:
+    """One embedded document → 0..n table grids. Multiple tables embedded in
+    one content string (concatenated CSVs separated by blank lines, or
+    side-by-side blocks separated by empty columns) each become their own
+    grid — the reference's Excel multi-table segmentation
+    (annotation/annot_scripts/file_loader.py:79-161) re-expressed for string
+    content."""
     ext = "." + path.rsplit(".", 1)[-1].lower() if "." in path else ""
     if lang not in TABLE_LANGS and ext not in TABLE_EXTS:
-        return None
+        return []
     if not content or not content.strip():
-        return None
+        return []
     if lang == "json" or ext == ".json":
         try:
             data = json.loads(content)
         except json.JSONDecodeError:
-            return None
+            return []
         if isinstance(data, list) and data and all(isinstance(r, dict) for r in data):
             cols = list(dict.fromkeys(k for r in data for k in r))
             grid = [cols]
             for r in data:
                 grid.append(["" if r.get(c) is None else str(r.get(c, "")) for c in cols])
-            return grid
+            return [grid] if _is_table(grid) else []
         if isinstance(data, list) and data and all(isinstance(r, list) for r in data):
-            return [[("" if v is None else str(v)) for v in r] for r in data]
-        return None
+            grid = [[("" if v is None else str(v)) for v in r] for r in data]
+            return [grid] if _is_table(grid) else []
+        return []
     delim = "\t" if (lang == "tsv" or ext == ".tsv") else _sniff_delimiter(content)
     try:
         rows = list(csv.reader(io.StringIO(content), delimiter=delim))
     except csv.Error:
-        return None
-    grid = [[c for c in r] for r in rows if r]
-    if len(grid) < 2 or max((len(r) for r in grid), default=0) < 2:
-        return None  # not a table: single line / single column
-    return grid
+        return []
+    return segment_grids(rows)
+
+
+def parse_content_to_grid(path: str, lang: str, content: str) -> list[list[str]] | None:
+    """First (or only) table grid of the document — None when not tabular."""
+    grids = parse_content_to_grids(path, lang, content)
+    return grids[0] if grids else None
 
 
 def _extract_batches(
@@ -118,23 +199,27 @@ def _extract_batches(
             pdf["repo"], pdf["path"], pdf["commit"], pdf["lang"], pdf["content"]
         ):
             content = content or ""
-            tid = hashlib.sha256(
-                "\x1f".join((repo or "", path or "", commit or "")).encode()
-            ).hexdigest()
+            base = "\x1f".join((repo or "", path or "", commit or ""))
             sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
-            grid = parse_content_to_grid(path or "", (lang or "").lower(), content)
-            if grid is None:
-                continue
-            for ri, row in enumerate(grid):
-                for ci, cell in enumerate(row):
-                    out["table_id"].append(tid)
-                    out["repo"].append(repo)
-                    out["path"].append(path)
-                    out["commit"].append(commit)
-                    out["content_sha256"].append(sha)
-                    out["row_idx"].append(ri)
-                    out["col_idx"].append(ci)
-                    out["cell"].append(cell)
+            grids = parse_content_to_grids(
+                path or "", (lang or "").lower(), content
+            )
+            for k, grid in enumerate(grids):
+                # single-table files keep their plain id (back-compat);
+                # multi-table files get one id per segment, in reading order
+                tid = hashlib.sha256(
+                    (base if len(grids) == 1 else f"{base}\x1f{k}").encode()
+                ).hexdigest()
+                for ri, row in enumerate(grid):
+                    for ci, cell in enumerate(row):
+                        out["table_id"].append(tid)
+                        out["repo"].append(repo)
+                        out["path"].append(path)
+                        out["commit"].append(commit)
+                        out["content_sha256"].append(sha)
+                        out["row_idx"].append(ri)
+                        out["col_idx"].append(ci)
+                        out["cell"].append(cell)
         yield pd.DataFrame(out)
 
 
@@ -151,15 +236,22 @@ def _manifest_batches(
                 "\x1f".join((repo or "", path or "", commit or "")).encode()
             ).hexdigest()
             sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
-            grid = parse_content_to_grid(path or "", (lang or "").lower(), content)
+            grids = parse_content_to_grids(
+                path or "", (lang or "").lower(), content
+            )
             out["table_id"].append(tid)
             out["repo"].append(repo)
             out["path"].append(path)
             out["commit"].append(commit)
             out["content_sha256"].append(sha)
-            out["kind"].append("table" if grid is not None else "skipped")
-            out["n_rows"].append(len(grid) if grid else 0)
-            out["n_cols"].append(max((len(r) for r in grid), default=0) if grid else 0)
+            out["kind"].append(
+                "skipped" if not grids
+                else ("table" if len(grids) == 1 else "multitable")
+            )
+            out["n_rows"].append(sum(len(g) for g in grids))
+            out["n_cols"].append(
+                max((max(len(r) for r in g) for g in grids), default=0)
+            )
         yield pd.DataFrame(out)
 
 
