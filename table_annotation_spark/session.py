@@ -68,6 +68,13 @@ def get_spark(
         # evaluation can pull a long upstream chain, so the 5-min default
         # timeout is too tight under load
         .config("spark.sql.broadcastTimeout", "3600")
+        # shuffle/spill files on tmpfs when available: the flagship writes
+        # ~50k small shuffle blocks per run; on an overlayfs /tmp that is
+        # 45-75% kernel time (measured via top %sy), on tmpfs it is memory
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
