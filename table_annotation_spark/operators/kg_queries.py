@@ -165,7 +165,14 @@ def lookup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     mentions = cust.select(
         F.regexp_replace(F.lower(F.trim("c_name")), "^c", "k").alias("mention_norm")
     ).distinct()
-    pairs = lk.candidate_pairs(mentions, labels)  # no exact path hits; gram join
+    # no exact-path hits (every mention is typo'd) — candidates can only come
+    # through the gram join. Dense ID-like names make trigrams skew-hot, so
+    # this runs the multi-resolution (3+6-gram) ladder under a df cap: the
+    # skew-safe plan a 100 TB surface-form corpus needs.
+    pairs = lk.candidate_pairs(
+        mentions, labels, max_gram_df=64, multi_resolution=True,
+        max_candidates_per_mention=200,
+    )
     scored = lk.score_candidates(pairs, lk.token_idf(labels), k=1)
     w = Window.partitionBy("mention_norm").orderBy(F.desc("score"), F.asc("entity"))
     return (

@@ -175,11 +175,22 @@ def candidate_pairs(
     mentions_distinct: DataFrame,
     labels: DataFrame,
     max_gram_df: int | None = None,
+    multi_resolution: bool = False,
+    max_candidates_per_mention: int | None = None,
 ) -> DataFrame:
     """Blocked candidate pairs (mention_norm × entity/label rows), deduped.
 
     Two paths unioned: exact label_norm equality (covers hot labels even when
-    their grams are dropped) and trigram-key equality with the length band.
+    their grams are dropped) and n-gram-key equality with the length band.
+
+    ``multi_resolution`` adds a 6-gram blocking tier alongside the trigrams
+    (both under the same label-side df cap). Rationale: the df cap is the
+    skew control, but a mention whose EVERY trigram is hot (dense ID-like
+    strings — "customer#000000001" corpora) would lose all blocking keys;
+    longer grams are exponentially rarer, so the 6-gram tier restores recall
+    for exactly those mentions while staying inside the cap. This is the
+    standard multi-resolution blocking ladder for skewed surface-form
+    corpora at scale.
     """
     m = mentions_distinct.select("mention_norm").distinct()
     m_len = m.withColumn("m_len", F.length("mention_norm"))
@@ -188,33 +199,63 @@ def candidate_pairs(
         "mention_norm", "m_len", "entity", "label", "label_norm", "length", "origin", "pr"
     )
 
-    mg = m_len.select(
-        "mention_norm", "m_len", F.explode(_grams(F.col("mention_norm"))).alias("gram")
-    )
-    lg = labels.select(
-        "entity", "label", "label_norm", "length", "origin", "pr",
-        F.explode(_grams(F.col("label_norm"))).alias("gram"),
-    )
-    if max_gram_df is not None:
-        hot = (
-            lg.groupBy("gram")
-            .count()
-            .where(F.col("count") > max_gram_df)
-            .select("gram")
+    sizes = [3, 6] if multi_resolution else [3]
+    grammed_parts = []
+    for n in sizes:
+        # per-tier df budget: 6-grams are exponentially rarer than trigrams,
+        # so the longer tier can afford a 16× larger cap — that is what lets
+        # it catch mentions whose trigrams are ALL hot without re-admitting
+        # the trigram skew
+        cap = None if max_gram_df is None else max_gram_df * (16 if n == 6 else 1)
+        mg = m_len.select(
+            "mention_norm", "m_len",
+            F.explode(_grams(F.col("mention_norm"), n=n)).alias("gram"),
         )
-        lg = lg.join(F.broadcast(hot), "gram", "left_anti")
-    grammed = (
-        mg.join(lg, "gram")
-        .drop("gram")
-        .where(
-            (F.col("length") >= 0.25 * F.col("m_len"))
-            & (F.col("length") <= 4 * F.col("m_len"))
+        lg = labels.select(
+            "entity", "label", "label_norm", "length", "origin", "pr",
+            F.explode(_grams(F.col("label_norm"), n=n)).alias("gram"),
         )
-        .select(
-            "mention_norm", "m_len", "entity", "label", "label_norm", "length",
-            "origin", "pr",
+        if cap is not None:
+            hot = (
+                lg.groupBy("gram")
+                .count()
+                .where(F.col("count") > cap)
+                .select("gram")
+            )
+            lg = lg.join(F.broadcast(hot), "gram", "left_anti")
+        grammed_parts.append(
+            mg.join(lg, "gram")
+            .drop("gram")
+            .where(
+                (F.col("length") >= 0.25 * F.col("m_len"))
+                & (F.col("length") <= 4 * F.col("m_len"))
+            )
+            .select(
+                "mention_norm", "m_len", "entity", "label", "label_norm",
+                "length", "origin", "pr",
+            )
         )
-    )
+    grammed = grammed_parts[0]
+    for part in grammed_parts[1:]:
+        grammed = grammed.unionByName(part)
+    if max_candidates_per_mention is not None:
+        # count-based candidate pruning (PPJoin-style): rank labels per
+        # mention by how many blocking keys they share — JVM-side — and keep
+        # the top N BEFORE the Python fuzzy kernel sees a single pair. The
+        # true match shares the most keys by construction; junk candidates
+        # admitted through one mid-frequency gram drop out here instead of
+        # burning UDF time. Exact-path hits are never pruned.
+        cols = ["mention_norm", "m_len", "entity", "label", "label_norm",
+                "length", "origin", "pr"]
+        counted = grammed.groupBy(*cols).agg(F.count(F.lit(1)).alias("_shared"))
+        w = Window.partitionBy("mention_norm").orderBy(
+            F.desc("_shared"), F.asc("entity"), F.asc("label_norm")
+        )
+        grammed = (
+            counted.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= max_candidates_per_mention)
+            .select(*cols)
+        )
     return exact.unionByName(grammed).distinct()
 
 
@@ -241,8 +282,15 @@ def score_candidates(
         .when(F.col("origin") == "SUB_ALIAS", ORIGIN_WEIGHTS["SUB_ALIAS"])
         .otherwise(ORIGIN_WEIGHTS["LABEL"])
     )
+    # the Python fuzzy kernel is the one genuinely CPU-bound stage in lookup:
+    # spread it over every core regardless of the (input-sized) global
+    # shuffle-partition setting — the blocking join can emit 100-1000× more
+    # pairs than it has input rows. Partitioning BY mention_norm also feeds
+    # the adaptive-threshold window below without another exchange.
+    par = pairs.sparkSession.sparkContext.defaultParallelism * 2
     scored = (
-        pairs.withColumn("fuzzy", fuzzy("mention_norm", "label_norm"))
+        pairs.repartition(par, "mention_norm")
+        .withColumn("fuzzy", fuzzy("mention_norm", "label_norm"))
         .withColumn("pexact", pexact("mention_norm", "label_norm"))
         .withColumn("fuzzy_w", F.col("fuzzy") * origin_w)
         # lazy: truncate the plan under the UDF without a blocking job; the
