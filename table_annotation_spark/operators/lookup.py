@@ -26,15 +26,11 @@ join between the distinct mention set and ``kg_labels``:
 
 from __future__ import annotations
 
-import math
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructType
 
-from ..functions.similarity import is_partial_exact, mixed_fuzzy_score
+from ..functions.similarity import lookup_fuzzy_pexact
 
 FUZZY_FACTOR = 0.7          # 1 - PR_FACTOR - LEX_FACTOR (settings.py:41,49)
 PR_FACTOR = 0.1
@@ -129,34 +125,26 @@ def _grams(col, n: int = 3):
     )
 
 
-def _fuzzy_udf():
-    @F.pandas_udf(DoubleType())
-    def fuzzy(mention: pd.Series, label: pd.Series) -> pd.Series:
-        cache: dict[tuple[str, str], float] = {}
-        out = []
+def _fuzzy_pexact_udf():
+    """ONE Arrow pass computing (fuzzy, pexact) fused — the two scores share
+    their token/DP work inside ``lookup_fuzzy_pexact`` (and its sound
+    upper-bound fast path skips all DP for provably-sub-threshold pairs), and
+    a single struct UDF halves the Arrow serialization vs two UDFs."""
+
+    @F.pandas_udf("fuzzy double, pexact boolean")
+    def fp(mention: pd.Series, label: pd.Series) -> pd.DataFrame:
+        cache: dict[tuple[str, str], tuple[float, bool]] = {}
+        fuzzies, pexacts = [], []
         for m, lb in zip(mention, label):
             key = (m, lb)
-            if key not in cache:
-                cache[key] = mixed_fuzzy_score(m or "", lb or "")
-            out.append(cache[key])
-        return pd.Series(out)
+            hit = cache.get(key)
+            if hit is None:
+                hit = cache[key] = lookup_fuzzy_pexact(m or "", lb or "", MIN_FUZZY)
+            fuzzies.append(hit[0])
+            pexacts.append(hit[1])
+        return pd.DataFrame({"fuzzy": fuzzies, "pexact": pexacts})
 
-    return fuzzy
-
-
-def _partial_exact_udf():
-    @F.pandas_udf("boolean")
-    def pexact(mention: pd.Series, label: pd.Series) -> pd.Series:
-        cache: dict[tuple[str, str], bool] = {}
-        out = []
-        for m, lb in zip(mention, label):
-            key = (m, lb)
-            if key not in cache:
-                cache[key] = is_partial_exact(m or "", lb or "")
-            out.append(cache[key])
-        return pd.Series(out)
-
-    return pexact
+    return fp
 
 
 def token_idf(labels: DataFrame) -> DataFrame:
@@ -270,8 +258,7 @@ def score_candidates(
     The UDF-scored pair set feeds four downstream branches (threshold window,
     lexical join, per-entity max, final window) — materialize it once so the
     blocking join + Python scoring don't recompute per branch."""
-    fuzzy = _fuzzy_udf()
-    pexact = _partial_exact_udf()
+    fp = _fuzzy_pexact_udf()
 
     # the reference multiplies the origin factor in BEFORE the adaptive
     # threshold (es_lookup.py:156-187: ratio *= factor, then max_ratio and
@@ -290,8 +277,10 @@ def score_candidates(
     par = pairs.sparkSession.sparkContext.defaultParallelism * 2
     scored = (
         pairs.repartition(par, "mention_norm")
-        .withColumn("fuzzy", fuzzy("mention_norm", "label_norm"))
-        .withColumn("pexact", pexact("mention_norm", "label_norm"))
+        .withColumn("_fp", fp("mention_norm", "label_norm"))
+        .withColumn("fuzzy", F.col("_fp.fuzzy"))
+        .withColumn("pexact", F.col("_fp.pexact"))
+        .drop("_fp")
         .withColumn("fuzzy_w", F.col("fuzzy") * origin_w)
         # lazy: truncate the plan under the UDF without a blocking job; the
         # four downstream branches share the one checkpointed RDD

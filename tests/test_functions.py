@@ -123,3 +123,78 @@ class TestTyping:
         assert tf.map_rank("PREFERRED") == 2
         assert tf.map_rank("NORMAL") == 1
         assert tf.map_rank("DEPRECATED") == 0
+
+
+class TestBitParallelKernel:
+    """The bit-parallel LCS core and the fused lookup kernel are pinned
+    against the reference row DP / the unfused score pair (hypothesis)."""
+
+    def test_lcs_matches_ref_dp(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=500, deadline=None)
+        @given(
+            st.text(alphabet="abcde #1", max_size=40),
+            st.text(alphabet="abcde #1", max_size=40),
+        )
+        def check(a, b):
+            assert sim._indel_distance(a, b) == sim._indel_distance_refdp(a, b)
+
+        check()
+
+    def test_partial_ratio_matches_naive(self):
+        from hypothesis import given, settings, strategies as st
+
+        def naive_partial(a, b):
+            if len(a) > len(b):
+                a, b = b, a
+            la, lb = len(a), len(b)
+            if la == 0:
+                return 1.0 if lb == 0 else 0.0
+            return max(
+                sim.ratio(a, b[s : s + la]) for s in range(lb - la + 1)
+            )
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            st.text(alphabet="abc x", max_size=15),
+            st.text(alphabet="abc x", max_size=30),
+        )
+        def check(a, b):
+            assert math.isclose(sim.partial_ratio(a, b), naive_partial(a, b))
+
+        check()
+
+    def test_lookup_fused_matches_unfused(self):
+        """For every pair: either the fused kernel returns the EXACT
+        (mixed_fuzzy_score, is_partial_exact) pair, or it returns a sound
+        upper bound below the survival floor with the true pair also
+        non-surviving (fuzzy < floor and not pexact) — the two behaviors the
+        downstream adaptive-threshold filter cannot distinguish."""
+        from hypothesis import given, settings, strategies as st
+
+        words = st.lists(
+            st.text(alphabet="abcdef12", min_size=1, max_size=8),
+            min_size=1,
+            max_size=4,
+        ).map(" ".join)
+
+        @settings(max_examples=500, deadline=None)
+        @given(words, words)
+        def check(m, l):
+            fuzzy, pex = sim.lookup_fuzzy_pexact(m, l)
+            true_fuzzy = sim.mixed_fuzzy_score(m, l)
+            true_pex = sim.is_partial_exact(m, l)
+            if pex or fuzzy >= lkmod.MIN_FUZZY:
+                assert math.isclose(fuzzy, true_fuzzy), (m, l)
+                assert pex == true_pex, (m, l)
+            else:
+                # pruned: must be a true non-survivor, and the returned
+                # bound must itself sit below the floor
+                assert fuzzy < lkmod.MIN_FUZZY
+                assert true_fuzzy < lkmod.MIN_FUZZY, (m, l, true_fuzzy)
+                assert not true_pex, (m, l)
+
+        from table_annotation_spark.operators import lookup as lkmod
+
+        check()
