@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import lookup as lk
 from .plans.pipeline import PipelineRun
 from .sources import kg_build
 
@@ -265,6 +264,8 @@ def run_flagship(
     max_tables: int | None = None,
     k: int = 5,
     max_gram_df: int | None = 64,
+    multi_resolution: bool = True,
+    max_candidates_per_mention: int | None = 200,
     include_orders: bool = True,
     checkpoint_dir: str | None = None,
     metrics: dict | None = None,
@@ -286,6 +287,11 @@ def run_flagship(
     run = PipelineRun(
         spark=spark, labels=labels, edges=edges, degrees=degrees,
         checkpoint_dir=checkpoint_dir, k=k, max_gram_df=max_gram_df,
+        # the same multi-resolution (3+6-gram) ladder + count-based candidate
+        # pruning as kg_lookup_fuzzy: one unified blocking config for the
+        # whole engine (the exact path still carries head surface forms)
+        multi_resolution=multi_resolution,
+        max_candidates_per_mention=max_candidates_per_mention,
     )
     out = run.run(src)
     if metrics is not None:

@@ -193,6 +193,36 @@ def type_cell(cell: str, ner=None) -> str:
     return "UNKNOWN"
 
 
+def typing_priority(t: str) -> int:
+    """Tie-break priority for the A1 minority-decrement: CARDINAL is the
+    weakest reading (everything numeric matches it), every other label
+    outranks it — reference preprocessing/prp_scripts/utils.py:43-47."""
+    return 0 if t == "CARDINAL" else 1
+
+
+def type_cell_multi(cell: str, ner=None):
+    """Multi-label variant of the typing cascade: collect EVERY firing label
+    instead of the first match — the input shape the reference's
+    minority-decrement (utils.py:245-259) exists for. "1998" under a
+    gazetteer listing it yields {DATE, GPE}; plain cells yield a singleton.
+    Returns "" for skipped cells (empty/punct/1-char), mirroring type_cell."""
+    s = cell.strip()
+    if not s or len(s) <= 1 or _RE_PUNCT_ONLY.match(s):
+        return ""
+    if len(s) > 70:
+        return {"UNKNOWN"}
+    labels: list[str] = []
+    for fn in (regex_typing, unit_typing, phone_typing):
+        t = fn(s)
+        if t and t not in labels:
+            labels.append(t)
+    if ner is not None:
+        t = ner(s)
+        if t and t not in labels:
+            labels.append(t)
+    return set(labels) if labels else {"UNKNOWN"}
+
+
 def get_string_type(label: str) -> str:
     """String datatype classes — preprocessing/prp_scripts/utils.py:49-62."""
     if len(label) >= 100:

@@ -30,6 +30,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import bcast
+
 from . import annotation_context as ctx
 
 SEMANTIC_W = 1.0   # annotation_models.py:110
@@ -144,7 +146,7 @@ def build_inputs(
     best = pair_rel.groupBy("head_ent", "tail_ent").agg(F.max("prox").alias("best_prox"))
     rp = (
         h.join(t, ["table_id", "row_idx"])
-        .join(F.broadcast(ecol_pairs), ["table_id", "head_col", "tail_col"])
+        .join(bcast(ecol_pairs), ["table_id", "head_col", "tail_col"])
         .where(F.col("head_ent") != F.col("tail_ent"))
         .join(best, ["head_ent", "tail_ent"], "left")
     )
@@ -245,6 +247,17 @@ def build_inputs(
     super_t = ctx.supertypes(types, edges)
     ent_pids = ctx.entity_pids(ents, edges)
 
+    # materialize the shared input frames in dependency waves BEFORE any
+    # pass touches them inside serial broadcast evaluation (see
+    # force_parallel docstring for both the why and the independence
+    # contract): wave 1 shares only the already-cached candidates/edges,
+    # wave 2 reads wave-1 aggregates, wave 3 reads waves 1-2.
+    force_waves(
+        [pair_rel, lit_match, types],
+        [row_pairs],
+        [ctx_entries, ctx_rels],
+    )
+
     return AnnotInputs(
         cand=cand, ecols=ecols, lcols=lcols, tbl=tbl,
         ecol_pairs=ecol_pairs, el_pairs=el_pairs, row_pairs=row_pairs,
@@ -260,7 +273,7 @@ def entity_scores_pass1(inp: AnnotInputs) -> DataFrame:
     column the context loop contributes nothing (cpa_annot empty) →
     score = 0.1·sim; single-column tables → sim
     (annotation_models.py:782-798)."""
-    return inp.cand.join(F.broadcast(inp.tbl), "table_id").select(
+    return inp.cand.join(bcast(inp.tbl), "table_id").select(
         "table_id", "row_idx", "col_idx", "entity", "sim",
         F.when(F.col("n_cols") > 1, 0.1 * F.col("sim"))
         .otherwise(F.col("sim"))
@@ -290,8 +303,8 @@ def update_context_weights(inp: AnnotInputs, cpa: DataFrame) -> DataFrame:
         F.col("coverage").alias("cpa_cov"), F.col("prox").alias("cpa_prox"),
     )
     min_ecol = inp.ecols.groupBy("table_id").agg(F.min("col_idx").alias("min_ecol"))
-    e = entries.join(F.broadcast(top_cpa), ["table_id", "head_col", "tail_col"], "left").join(
-        F.broadcast(min_ecol), "table_id"
+    e = entries.join(bcast(top_cpa), ["table_id", "head_col", "tail_col"], "left").join(
+        bcast(min_ecol), "table_id"
     )
     df_col = 1.0 / (
         1.0
@@ -330,14 +343,14 @@ def entity_scores_soft(
     e = weighted_entries
     if unrelated_pairs is not None:
         e = e.join(
-            F.broadcast(unrelated_pairs), ["table_id", "head_col", "tail_col"],
+            bcast(unrelated_pairs), ["table_id", "head_col", "tail_col"],
             "left_anti",
         )
     cpa_k = cpa.select(
         "table_id", "head_col", "tail_col", "rel", "coverage", "prox", "rank"
     )
     considered = e.join(
-        F.broadcast(cpa_k.select("table_id", "head_col", "tail_col").distinct()),
+        bcast(cpa_k.select("table_id", "head_col", "tail_col").distinct()),
         ["table_id", "head_col", "tail_col"],
     )
 
@@ -346,7 +359,7 @@ def entity_scores_soft(
     rel_match = (
         considered.select(*key, "head_col", "tail_col")
         .join(inp.ctx_rels.withColumnRenamed("rel", "ctx_rel"), key)
-        .join(F.broadcast(cpa_k), ["table_id", "head_col", "tail_col"])
+        .join(bcast(cpa_k), ["table_id", "head_col", "tail_col"])
         .where(F.col("rel") == F.col("ctx_rel"))
         .groupBy(*key)
         .agg(F.min(F.struct("rank", "coverage", "prox")).alias("m"))
@@ -363,7 +376,7 @@ def entity_scores_soft(
         F.max("weight").alias("max_w"),
     )
     cand_key = ["table_id", "row_idx", "col_idx", "entity"]
-    s = inp.cand.join(agg, cand_key, "left").join(F.broadcast(inp.tbl), "table_id")
+    s = inp.cand.join(agg, cand_key, "left").join(bcast(inp.tbl), "table_id")
     ctx_score = F.when(
         F.col("den").isNotNull() & (F.col("den") > 0), F.col("num") / F.col("den")
     ).otherwise(0.01)
@@ -397,7 +410,7 @@ def entity_scores_soft(
     cand_pairs = considered.select(
         *cand_key, "ctx_col", "ctx_kind", "head_col", "tail_col"
     ).distinct()
-    pc = cand_pairs.join(F.broadcast(cpa_k), ["table_id", "head_col", "tail_col"]).where(
+    pc = cand_pairs.join(bcast(cpa_k), ["table_id", "head_col", "tail_col"]).where(
         ~F.col("rel").contains("::")
     )
     is_tail = (F.col("ctx_kind") == "entity") & (F.col("ctx_col") < F.col("col_idx"))
@@ -439,7 +452,7 @@ def cea_task(
         # candidate's own 3-level types
         cmatch = (
             s.select(*cand_key)
-            .join(F.broadcast(cta_c), ["table_id", "col_idx"])
+            .join(bcast(cta_c), ["table_id", "col_idx"])
         )
         own = inp.types.select(
             F.col("entity"), F.col("type").alias("cta_type"),
@@ -482,7 +495,7 @@ def cea_task(
         )
         s = (
             s.join(disamb, cand_key, "left")
-            .join(F.broadcast(cov_mean), ["table_id", "col_idx"], "left")
+            .join(bcast(cov_mean), ["table_id", "col_idx"], "left")
             .fillna({"cta_d": 0.0})
         )
         if contextless is not None:
@@ -546,7 +559,7 @@ def cpa_task(
     )
     if unrelated_pairs is not None:
         pairs = pairs.join(
-            F.broadcast(unrelated_pairs), ["table_id", "head_col", "tail_col"],
+            bcast(unrelated_pairs), ["table_id", "head_col", "tail_col"],
             "left_anti",
         )
 
@@ -562,7 +575,7 @@ def cpa_task(
     # entity-tail votes
     je = (
         head.join(
-            F.broadcast(pairs.where(F.col("tail_kind") == "entity")),
+            bcast(pairs.where(F.col("tail_kind") == "entity")),
             ["table_id", "head_col"],
         )
         .join(tail_e, ["table_id", "row_idx", "tail_col"])
@@ -577,7 +590,7 @@ def cpa_task(
     # relation from the literal CPA cache keyed (entity, mention)
     jl = (
         head.join(
-            F.broadcast(pairs.where(F.col("tail_kind") == "literal")),
+            bcast(pairs.where(F.col("tail_kind") == "literal")),
             ["table_id", "head_col"],
         )
         .join(
@@ -632,7 +645,7 @@ def cpa_task(
         kept = ranked.where(F.col("cnt") * F.col("total") >= F.col("top_ct"))
     else:
         kept = ranked.where(F.col("cnt") >= F.col("top_cnt"))
-    return kept.join(F.broadcast(inp.tbl), "table_id").select(
+    return kept.join(bcast(inp.tbl), "table_id").select(
         "table_id", "head_col", "tail_col", "rel",
         (F.col("total") / F.col("n_data_rows")).alias("score"),
         (F.col("cnt") / F.col("n_data_rows")).alias("coverage"),
@@ -692,7 +705,7 @@ def cta_task(inp: AnnotInputs, cea: DataFrame, only_one: bool) -> DataFrame:
         kept = top.unionByName(extra)
     else:
         kept = ranked.where(F.col("cnt") >= F.col("top_cnt"))
-    return kept.join(F.broadcast(inp.tbl), "table_id").select(
+    return kept.join(bcast(inp.tbl), "table_id").select(
         "table_id", "col_idx", "type",
         (F.col("total") / F.col("n_data_rows")).alias("score"),
         (F.col("cnt") / F.col("n_data_rows")).alias("coverage"),
@@ -710,7 +723,7 @@ def literal_context_restriction(inp: AnnotInputs, cpa: DataFrame) -> DataFrame:
         "table_id", "head_col", "tail_col", "coverage"
     )
     lit_pairs = inp.el_pairs
-    j = lit_pairs.join(F.broadcast(top), ["table_id", "head_col", "tail_col"], "left").fillna(
+    j = lit_pairs.join(bcast(top), ["table_id", "head_col", "tail_col"], "left").fillna(
         {"coverage": -1.0}
     )
     w = Window.partitionBy("table_id", "tail_col").orderBy(
@@ -720,7 +733,7 @@ def literal_context_restriction(inp: AnnotInputs, cpa: DataFrame) -> DataFrame:
     # match_column exists only when some coverage > 0
     keep = ranked.where((F.col("r") == 1) & (F.col("coverage") > 0))
     return lit_pairs.join(
-        F.broadcast(keep.select("table_id", "head_col", "tail_col")),
+        bcast(keep.select("table_id", "head_col", "tail_col")),
         ["table_id", "head_col", "tail_col"],
         "left_anti",
     )
@@ -756,6 +769,50 @@ def _mat(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+def force_parallel(*dfs: DataFrame | None) -> None:
+    """Materialize a set of INDEPENDENT lazy localCheckpoint frames in ONE
+    parallel union-of-counts job.
+
+    Why: a lazily-checkpointed frame executes the first time an action
+    touches it — and with the forced-broadcast hints on the small dims, that
+    first touch used to happen inside *broadcast evaluation*, where Spark
+    collects each broadcast child serially on a driver thread. At r2 scale
+    that serial evaluation of the fused input DAG was the dominant
+    wall-clock term of the flagship and the main scaling-efficiency sink.
+    One union-of-counts job runs every frame's stages concurrently at full
+    cluster parallelism and checkpoints them at job end; later passes'
+    broadcast evaluations then collect from already-materialized RDDs.
+
+    INDEPENDENCE CONTRACT: frames in one call must not share UNMATERIALIZED
+    ancestors. Concurrent stages of one job race to compute uncached
+    partitions of a shared parent (the block-cache dedupe is best-effort,
+    not a barrier), so passing a frame together with something derived from
+    it duplicates the whole parent computation — measured 937 s vs 731 s on
+    the replicate-4 flagship when the input frames were forced in one flat
+    call. Dependent frames go in SEPARATE calls, in dependency order
+    (``force_waves``). ``None`` entries are skipped so optional frames
+    (ctxless/potential) can be passed unconditionally."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_FORCE") == "1":
+        return
+    frames = [d for d in dfs if d is not None]
+    if not frames:
+        return
+    probe = frames[0].agg(F.count(F.lit(1)).alias("n"))
+    for d in frames[1:]:
+        probe = probe.unionAll(d.agg(F.count(F.lit(1)).alias("n")))
+    probe.collect()
+
+
+def force_waves(*waves) -> None:
+    """Sequential dependency waves of force_parallel: each wave's frames may
+    depend on anything in EARLIER waves (already cached) but must be mutually
+    independent within the wave."""
+    for wave in waves:
+        force_parallel(*wave)
+
+
 def annotate(
     cand: DataFrame,
     body: DataFrame,
@@ -779,6 +836,7 @@ def annotate(
     s1 = entity_scores_pass1(inp)
     cea1 = cea_task(inp, s1, cta=None, only_one=False)
     cpa1 = _mat(cpa_task(inp, cea1, only_one=False))
+    force_parallel(cpa1)
     timings["pass1"] = round(_t.time() - t0, 2)
 
     # pass 2: soft re-weighting
@@ -788,6 +846,7 @@ def annotate(
     s2 = _mat(s2)
     cea2 = cea_task(inp, s2, cta=None, only_one=False)
     cta2 = _mat(cta_task(inp, cea2, only_one=False))
+    force_waves([s2], [cta2])  # cta2 reads cea2 ← s2
     timings["pass2"] = round(_t.time() - t0, 2)
 
     # pass 3: disambiguation
@@ -795,6 +854,7 @@ def annotate(
     cea3 = _mat(cea_task(inp, s2, cta=cta2, only_one=True))
     cta3 = _mat(cta_task(inp, cea3, only_one=True))
     cpa3 = _mat(cpa_task(inp, cea3, only_one=False))
+    force_waves([cea3], [cta3, cpa3])  # cta3 ∥ cpa3, both read cea3
     timings["pass3"] = round(_t.time() - t0, 2)
 
     # pass 4: reinforced disambiguation.
@@ -812,11 +872,15 @@ def annotate(
         ctxless = _mat(ctxless)
     if potential is not None:
         potential = _mat(potential)
+    # s3/ctxless/potential all come from one entity_scores_soft call and
+    # share its interior DAG (and read `unrelated`) — strictly sequential
+    force_waves([unrelated], [s3], [ctxless], [potential])
     cea4 = _mat(
         cea_task(
             inp, s3, cta=cta3, only_one=True, contextless=ctxless, potential=potential
         )
     )
+    force_parallel(cea4)
     cta4 = _mat(cta_task(inp, cea4, only_one=True))
     cpa4 = _mat(cpa_task(inp, cea4, only_one=True, unrelated_pairs=unrelated))
     timings["pass4"] = round(_t.time() - t0, 2)

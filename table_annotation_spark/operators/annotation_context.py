@@ -20,11 +20,12 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..session import bcast
 from pyspark.sql.types import DoubleType
 
 from ..functions import typing_fns as tf
@@ -103,7 +104,7 @@ def twohop_relations(
         pairs.join(eh, "head_ent")
         .join(et, ["tail_ent", "node"])
         .join(
-            F.broadcast(degrees.select(F.col("entity").alias("node"), "degree")),
+            bcast(degrees.select(F.col("entity").alias("node"), "degree")),
             "node",
             "left",
         )
@@ -273,7 +274,7 @@ def literal_matches(
         ),
     )
     cand_edges = cand_edges.withColumn("unit_qid", unit_q).join(
-        F.broadcast(usym), "unit_qid", "left"
+        bcast(usym), "unit_qid", "left"
     )
 
     j = (

@@ -266,6 +266,104 @@ FROM nation
 ORDER BY 1, 2, 3
 """
 
+def canon_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization CONFLICT semantics (C15 + north_star mention-dedupe)
+    under the DuckDB gate: for every nation, one surface form is confidently
+    CEA-resolved to TWO duplicate entity ids (0.9 and 0.8 — both above the
+    0.5 confidence gate) and to one stray id at 0.3 (below the gate). The
+    real ``canonicalize`` must merge exactly the confident pair (rep = min
+    entity id), leave the stray id un-merged, remap triple subjects/objects
+    through the mapping, and never touch literal objects. The oracle states
+    the same semantics independently: gate → recursive-CTE transitive closure
+    over sha256(mention)↔entity edges → min-entity rep → remap."""
+    from .materialize import canonicalize
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    base = nat.select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.lower(F.trim("n_name")).alias("m"),
+    )
+
+    def q(off: int):
+        return F.concat(F.lit("Q"), (F.col("k") + off).cast("string"))
+
+    cea = (
+        base.select(F.col("m").alias("mention_norm"), q(100).alias("entity"),
+                    F.lit(0.9).alias("score"))
+        .unionByName(base.select(F.col("m").alias("mention_norm"),
+                                 q(200).alias("entity"), F.lit(0.8).alias("score")))
+        .unionByName(base.select(F.col("m").alias("mention_norm"),
+                                 q(900).alias("entity"), F.lit(0.3).alias("score")))
+    )
+    triple_cols = ("subj", "pred", "obj", "obj_kind", "table_id", "row_idx", "score")
+
+    def trip(subj, pred, obj, kind, tid, score):
+        return base.select(
+            subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj"),
+            F.lit(kind).alias("obj_kind"), F.lit(tid).alias("table_id"),
+            F.col("k").alias("row_idx"), F.lit(score).alias("score"),
+        ).select(*triple_cols)
+
+    triples = (
+        trip(q(100), "P17", q(200), "entity", "t1", 0.9)      # both sides merge
+        .unionByName(trip(q(900), "P17", q(100), "entity", "t2", 0.3))  # stray subj
+        .unionByName(trip(q(100), "P1082", F.col("k").cast("string"), "literal", "t1", 0.9))
+    )
+    return (
+        canonicalize(triples, cea)
+        .select("subj", "pred", "obj", "obj_kind")
+        .distinct()
+        .orderBy("subj", "pred", "obj")
+    )
+
+
+CANON_CONFLICT_SQL = """
+WITH RECURSIVE n AS (
+  SELECT n_nationkey::BIGINT AS k, lower(trim(n_name)) AS m FROM nation
+),
+cea AS (
+  SELECT m, 'Q' || (k+100)::VARCHAR AS entity, 0.9 AS score FROM n
+  UNION ALL SELECT m, 'Q' || (k+200)::VARCHAR, 0.8 FROM n
+  UNION ALL SELECT m, 'Q' || (k+900)::VARCHAR, 0.3 FROM n
+),
+edges AS (
+  SELECT DISTINCT sha256(m) AS src, entity AS dst FROM cea WHERE score >= 0.5
+),
+sym AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+rep AS (
+  SELECT component,
+         min(CASE WHEN regexp_matches(node, '^[PQ][0-9]+$') THEN node END) AS rep
+  FROM comp GROUP BY component
+),
+emap AS (
+  SELECT c.node AS entity, r.rep
+  FROM comp c JOIN rep r USING (component)
+  WHERE r.rep IS NOT NULL AND regexp_matches(c.node, '^[PQ][0-9]+$')
+),
+triples AS (
+  SELECT 'Q'||(k+100)::VARCHAR AS subj, 'P17' AS pred,
+         'Q'||(k+200)::VARCHAR AS obj, 'entity' AS obj_kind FROM n
+  UNION ALL
+  SELECT 'Q'||(k+900)::VARCHAR, 'P17', 'Q'||(k+100)::VARCHAR, 'entity' FROM n
+  UNION ALL
+  SELECT 'Q'||(k+100)::VARCHAR, 'P1082', k::VARCHAR, 'literal' FROM n
+)
+SELECT DISTINCT coalesce(es.rep, t.subj) AS subj, pred,
+       CASE WHEN obj_kind = 'entity' THEN coalesce(eo.rep, t.obj) ELSE t.obj END AS obj,
+       obj_kind
+FROM triples t
+LEFT JOIN emap es ON es.entity = t.subj
+LEFT JOIN emap eo ON eo.entity = t.obj
+ORDER BY subj, pred, obj
+"""
+
+
 ORACLES = {
     "kg_cells_extract": CELLS_EXTRACT_SQL,
     "kg_cells_multitable": CELLS_MULTITABLE_SQL,
@@ -273,6 +371,7 @@ ORACLES = {
     "kg_lookup_fuzzy": LOOKUP_FUZZY_SQL,
     "kg_typing_ner": TYPING_NER_SQL,
     "kg_flagship_triples": FLAGSHIP_TRIPLES_SQL,
+    "kg_canon_conflict": CANON_CONFLICT_SQL,
 }
 
 QUERIES = {
@@ -282,4 +381,5 @@ QUERIES = {
     "kg_lookup_fuzzy": lookup_fuzzy,
     "kg_typing_ner": typing_ner,
     "kg_flagship_triples": flagship_triples,
+    "kg_canon_conflict": canon_conflict,
 }

@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import bcast
+
 from ..functions.similarity import lookup_fuzzy_pexact
 
 FUZZY_FACTOR = 0.7          # 1 - PR_FACTOR - LEX_FACTOR (settings.py:41,49)
@@ -210,7 +212,7 @@ def candidate_pairs(
                 .where(F.col("count") > cap)
                 .select("gram")
             )
-            lg = lg.join(F.broadcast(hot), "gram", "left_anti")
+            lg = lg.join(bcast(hot), "gram", "left_anti")
         grammed_parts.append(
             mg.join(lg, "gram")
             .drop("gram")
@@ -304,7 +306,7 @@ def score_candidates(
         "m_tokens", F.split("mention_norm", r"\s+")
     ).where(F.array_contains(F.col("m_tokens"), F.col("token")))
     lex = (
-        mention_tok.join(F.broadcast(idf), "token", "left")
+        mention_tok.join(bcast(idf), "token", "left")
         .fillna({"idf": 0.0})
         .groupBy("mention_norm", "entity", "label_norm")
         .agg(F.sum("idf").alias("lex_raw"))
@@ -357,6 +359,8 @@ def lookup(
     k: int = DEFAULT_K,
     max_gram_df: int | None = None,
     min_coverage: float = 0.3,
+    multi_resolution: bool = False,
+    max_candidates_per_mention: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full stage: returns (candidates, kept_entity_cols).
 
@@ -369,7 +373,11 @@ def lookup(
 
     mentions = extract_mentions(body, col_classes).localCheckpoint(eager=False)
     distinct_mentions = mentions.select("mention_norm").distinct()
-    pairs = candidate_pairs(distinct_mentions, labels, max_gram_df=max_gram_df)
+    pairs = candidate_pairs(
+        distinct_mentions, labels, max_gram_df=max_gram_df,
+        multi_resolution=multi_resolution,
+        max_candidates_per_mention=max_candidates_per_mention,
+    )
     cand = score_candidates(pairs, idf, k=k).localCheckpoint(eager=False)
 
     # head surface forms ("USA") appear in millions of cells but have ≤K

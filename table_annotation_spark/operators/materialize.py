@@ -108,12 +108,16 @@ def connected_components(
     if a pathological graph exhausts ``max_iter`` a warning is raised rather
     than silently returning split components.
 
-    ``check_every`` bounds driver-side actions: the convergence check (a
-    blocking job submission per check on a cluster) runs every k-th round
-    instead of every round — labels only ever decrease, so equality across a
-    k-round window proves convergence. ``checkpoint`` lets callers route
-    per-round lineage truncation through reliable storage (the pipeline's
-    parquet checkpoint path) instead of executor-memory localCheckpoint.
+    ``check_every`` bounds driver-side actions: the per-node change flag is
+    FOLDED into the round's own label groupBy (``changed`` = the round
+    lowered this node's label), so each round stays exactly one
+    shuffle+checkpoint job; the every-k-th-round convergence probe is then a
+    join-free ``limit(1)`` scan of the just-checkpointed RDD instead of the
+    old labels⋈previous shuffle join + count. Labels only ever decrease, so
+    one round with no lowered label is a fixpoint. ``checkpoint`` lets
+    callers route per-round lineage truncation through reliable storage (the
+    pipeline's parquet checkpoint path) instead of executor-memory
+    localCheckpoint.
     """
     import warnings
 
@@ -131,30 +135,32 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
     converged = False
-    last_checked = labels
     for i in range(1, max_iter + 1):
-        # candidate labels from neighbors
+        # candidate labels from neighbors; rows tagged so the groupBy can
+        # recover "own previous label" (exactly one own-row per node) and
+        # emit the change flag in the same aggregation
+        own = labels.select("node", "component", F.lit(True).alias("own"))
         neigh = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            sym.join(labels.withColumnRenamed("node", "b").select("b", "component"), "b")
             .select(F.col("a").alias("node"), "component")
+            .withColumn("own", F.lit(False))
         )
         labels = ckpt(
-            labels.unionByName(neigh)
+            own.unionByName(neigh)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                (
+                    F.min(F.when(F.col("own"), F.col("component")))
+                    > F.min("component")
+                ).alias("changed"),
+            )
         )
         if i % check_every == 0 or i == max_iter:
-            changed = (
-                labels.alias("n")
-                .join(last_checked.alias("o"), "node")
-                .where(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
-            last_checked = labels
-            if changed == 0:
+            if labels.where("changed").limit(1).count() == 0:
                 converged = True
                 break
+    labels = labels.select("node", "component")
     if not converged:
         warnings.warn(
             f"connected_components: max_iter={max_iter} exhausted without "

@@ -88,19 +88,41 @@ def transpose(grid: list[list[str]]) -> list[list[str]]:
 # ---------------------------------------------------------------- typing maps
 def build_typing_maps(
     grid: list[list[str]],
+    ner=None,
+    multi_label: bool = False,
 ) -> tuple[dict[str, set[str]], dict[str, set[str]]]:
     """parse_table (P7/P8): type each DISTINCT cell once; derive datatypes.
 
+    ``multi_label=True`` collects EVERY firing label per cell
+    (``type_cell_multi`` — e.g. "1998" is both regex-DATE and, under a
+    gazetteer that lists it, NER-GPE), which is what activates the A1
+    minority-decrement in the column counters below. The flagship path stays
+    single-label (first-match) for reference parity; multi-label engages
+    when a multi-label NER (spaCy plug / gazetteer) is configured.
+
     In the Spark stage these maps arrive pre-computed from the relational
     distinct-cell typing join; this local builder serves tests/oracle."""
+    from ..functions.typing_fns import type_cell_multi
+
     typing: dict[str, set[str]] = {}
     datatype: dict[str, set[str]] = {}
     for cell in {c for row in grid for c in row}:
-        t = type_cell(cell)
-        if t == "":
-            continue
-        typing[cell] = {t}
-        datatype[cell] = {get_string_type(cell.strip()) if is_concept(t) else t}
+        if multi_label:
+            ts = type_cell_multi(cell, ner=ner)
+            if ts == "":
+                continue
+            typing[cell] = set(ts)
+            datatype[cell] = {
+                get_string_type(cell.strip()) if is_concept(t) else t for t in ts
+            }
+        else:
+            t = type_cell(cell, ner=ner) if ner is not None else type_cell(cell)
+            if t == "":
+                continue
+            typing[cell] = {t}
+            datatype[cell] = {
+                get_string_type(cell.strip()) if is_concept(t) else t
+            }
     return typing, datatype
 
 
@@ -109,15 +131,42 @@ def _counter_per_column(
     grid: list[list[str]], cellmap: dict[str, set[str]], top_k: int
 ) -> dict[int, list[dict]]:
     """A1/A2 core counter: per column, frequency of labels over ALL cells
-    (score denominator = column height), top-k (utils.py:226-266)."""
+    (score denominator = column height), top-k (utils.py:226-266).
+
+    Multi-label cells additionally run the reference's MINORITY-DECREMENT
+    (utils.py:245-259 + typing_priority :43-47): per cell occurrence, its
+    labels are ranked by (current count, typing_priority) descending and
+    every label but the winner loses the vote that occurrence gave it — so a
+    multi-typed cell nets exactly one vote, for its column-majority reading.
+    Counts mutate between occurrences exactly as in the reference loop; the
+    reference's remaining tie order (set iteration) is non-deterministic, so
+    ties here break on the alphabetically-first label (documented
+    deviation, COVERAGE.md §2.2 P7b). Single-label maps make the decrement
+    a structural no-op, which is why the first-match flagship path is
+    unaffected."""
+    from ..functions.typing_fns import typing_priority
+
     out: dict[int, list[dict]] = {}
     for col_idx, col in enumerate(transpose(grid)):
         counts: dict[str, int] = {}
         total = 0
         for cell in col:
-            for lab in cellmap.get(cell, ()):  # singleton or absent
+            for lab in cellmap.get(cell, ()):  # label set (usually singleton)
                 counts[lab] = counts.get(lab, 0) + 1
             total += 1
+        for cell in col:
+            labs = cellmap.get(cell, ())
+            if len(labs) > 1:
+                ranked = sorted(
+                    sorted(labs),
+                    key=lambda x: (counts.get(x, 0), typing_priority(x)),
+                    reverse=True,
+                )
+                for other in ranked[1:]:
+                    if other in counts:
+                        counts[other] -= 1
+                        if counts[other] == 0:
+                            del counts[other]
         if counts:
             ranked = sorted(counts.items(), key=lambda kv: -kv[1])[:top_k]
             out[col_idx] = [

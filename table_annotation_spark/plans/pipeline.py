@@ -39,6 +39,8 @@ class PipelineRun:
     checkpoint_dir: str | None = None
     k: int = lk.DEFAULT_K
     max_gram_df: int | None = None
+    multi_resolution: bool = False
+    max_candidates_per_mention: int | None = None
     multihop: bool = True
     metrics: dict = field(default_factory=dict)
 
@@ -114,6 +116,8 @@ class PipelineRun:
             cand, _kept = lk.lookup(
                 body, classes, self.labels, idf,
                 k=self.k, max_gram_df=self.max_gram_df,
+                multi_resolution=self.multi_resolution,
+                max_candidates_per_mention=self.max_candidates_per_mention,
             )
             if not self.checkpoint_dir:
                 cand = cand.localCheckpoint(eager=True)
@@ -153,6 +157,14 @@ class PipelineRun:
             canonicalize(triples, cea_mentions, checkpoint=self._cc_checkpoint())
         )
         triples_canon = self._checkpoint("triples", triples_canon)
+        # the CC per-iteration parquet checkpoints are only alive while the
+        # canonicalized-triples lineage still reads them; once "triples" is
+        # persisted above they are dead weight — drop the whole cc/ tree so
+        # reruns with fewer iterations can't leave stale iter_* dirs behind
+        if self.checkpoint_dir:
+            import shutil
+
+            shutil.rmtree(os.path.join(self.checkpoint_dir, "cc"), ignore_errors=True)
         self.metrics["materialize_sec"] = round(time.time() - t0, 3)
         self.metrics["total_sec"] = round(time.time() - t_start, 3)
 

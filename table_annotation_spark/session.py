@@ -15,6 +15,31 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+# only put shuffle files on tmpfs when it currently has this much headroom —
+# a RAM-backed dir that fills mid-shuffle fails the job with ENOSPC
+_TMPFS_MIN_FREE_BYTES = 16 << 30
+
+
+def _local_dirs() -> str:
+    """spark.local.dir choice: tmpfs ONLY while it has headroom, /tmp when it
+    doesn't. Measured on this host: shuffle blocks on overlayfs /tmp cost
+    45-75% kernel time, and Spark hashes files EVENLY across a dir list — so
+    a tmpfs,/tmp pair drags every shuffle phase halfway back to the slow
+    path (measured +30% flagship wall vs tmpfs-only). The ENOSPC risk of a
+    RAM-backed dir is handled by the upfront free-space gate instead of a
+    standing overflow dir. Overridable via SPARK_GRAFT_LOCAL_DIR."""
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    if os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= _TMPFS_MIN_FREE_BYTES:
+                return "/dev/shm/spark-local"
+        except OSError:
+            pass
+    return "/tmp/spark-local"
+
 
 def tune_for_input_size(spark: SparkSession, approx_rows: int) -> None:
     """Set runtime confs by input size. AQE's per-shuffle re-optimization
@@ -35,8 +60,39 @@ def tune_for_input_size(spark: SparkSession, approx_rows: int) -> None:
         override = os.environ.get("SPARK_GRAFT_SHUFFLE_OVERRIDE")
         parts = int(override) if override else min(16, max(4, approx_rows // 2000))
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        # small corpus: the per-table / per-column-pair dims really are tiny,
+        # and lazily-checkpointed frames carry no stats, so the explicit
+        # broadcast hints (annotation.bcast) are both safe and necessary
+        spark.conf.set("spark.graft.forcedBroadcast", "true")
     else:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # large corpus: frames like tbl (row per table) and cpa_k (row per
+        # table×column-pair) grow with the corpus — a forced broadcast hint
+        # would bypass the 64 MB autoBroadcast safety and collect O(#tables)
+        # rows onto the driver. Let AQE pick the join strategy from runtime
+        # sizes instead.
+        spark.conf.set("spark.graft.forcedBroadcast", "false")
+
+
+def bcast(df):
+    """Size-gated broadcast hint for the engine's small-dim joins.
+
+    The hinted frames (per-table / per-column-pair aggregates, hot-gram
+    sets, token IDF) are tiny at any bench scale but grow with the corpus,
+    and lazily-checkpointed frames carry no stats — so an unconditional
+    ``F.broadcast`` is required below ~1M input rows (auto-broadcast can
+    never fire) yet unsafe above it (it bypasses the 64 MB autoBroadcast
+    ceiling and would collect O(#tables) rows per executor). The gate is the
+    ``spark.graft.forcedBroadcast`` conf set by ``tune_for_input_size``:
+    small corpus → hint applied; large corpus → hint dropped and AQE picks
+    the join strategy from runtime sizes."""
+    from pyspark.sql import functions as F
+
+    try:
+        forced = df.sparkSession.conf.get("spark.graft.forcedBroadcast", "true")
+    except Exception:
+        forced = "true"
+    return F.broadcast(df) if forced != "false" else df
 
 
 def get_spark(
@@ -70,11 +126,12 @@ def get_spark(
         .config("spark.sql.broadcastTimeout", "3600")
         # shuffle/spill files on tmpfs when available: the flagship writes
         # ~50k small shuffle blocks per run; on an overlayfs /tmp that is
-        # 45-75% kernel time (measured via top %sy), on tmpfs it is memory
-        .config(
-            "spark.local.dir",
-            "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
-        )
+        # 45-75% kernel time (measured via top %sy), on tmpfs it is memory.
+        # tmpfs is RAM-backed and capped, so it is only ADDED (never the
+        # sole dir) and only when it currently has headroom — Spark spreads
+        # files across the list, so /tmp always provides disk overflow room.
+        # SPARK_GRAFT_LOCAL_DIR overrides the whole list.
+        .config("spark.local.dir", _local_dirs())
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -72,3 +72,105 @@ class TestStreaming:
             (r["ws"], r["event_type"]): (r["n"], r["vm"]) for r in batch.collect()
         }
         assert got == want
+
+
+class TestRealCodecs:
+    """Pure-numpy BMP/WAV codecs: roundtrip + malformed-input contracts
+    (no Spark needed). The end-to-end encode→decode hash gate is the driver
+    oracle `multimodal_decode_real`."""
+
+    def test_bmp_roundtrip(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        for w, h in [(1, 1), (3, 2), (16, 9), (5, 7)]:
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            out = mm.decode_bmp(mm.encode_bmp(px))
+            assert out.shape == (h, w, 3)
+            assert (out == px).all(), f"roundtrip mismatch at {w}x{h}"
+
+    def test_bmp_padding_is_real(self):
+        # w=3 → 9-byte rows padded to 12: a decoder ignoring padding reads
+        # shifted pixels; this pins the stride handling
+        import numpy as np
+
+        px = np.arange(3 * 3 * 3, dtype=np.uint8).reshape(3, 3, 3)
+        assert (mm.decode_bmp(mm.encode_bmp(px)) == px).all()
+
+    def test_bmp_rejects_garbage(self):
+        import pytest as _pytest
+
+        for bad in [b"", b"BM", b"NOTABMP" * 20]:
+            with _pytest.raises(ValueError):
+                mm.decode_bmp(bad)
+
+    def test_bmp_rejects_truncated_pixels(self):
+        import numpy as np
+        import pytest as _pytest
+
+        full = mm.encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+        with _pytest.raises(ValueError):
+            mm.decode_bmp(full[:-5])
+
+    def test_wav_roundtrip(self):
+        import numpy as np
+
+        smp = (np.arange(500, dtype=np.int64) * 173 % 65536 - 32768).astype(np.int16)
+        rate, out = mm.decode_wav(mm.encode_wav(smp, sample_rate=16000))
+        assert rate == 16000
+        assert (out == smp).all()
+
+    def test_wav_chunk_walk_skips_unknown_chunks(self):
+        # a LIST chunk between fmt and data must not derail the parser
+        import struct
+
+        import numpy as np
+
+        smp = np.array([1, -2, 3], dtype=np.int16)
+        wav = mm.encode_wav(smp)
+        fmt_end = 12 + 8 + 16
+        extra = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+        patched = wav[:fmt_end] + extra + wav[fmt_end:]
+        rate, out = mm.decode_wav(patched)
+        assert rate == 8000 and (out == smp).all()
+
+    def test_wav_rejects_stereo(self):
+        import struct
+
+        import numpy as np
+
+        wav = bytearray(mm.encode_wav(np.array([0, 1], dtype=np.int16)))
+        struct.pack_into("<H", wav, 12 + 8 + 2, 2)  # channels=2
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            mm.decode_wav(bytes(wav))
+
+    def test_resize_bmp_nearest_neighbor(self):
+        import numpy as np
+
+        px = np.zeros((2, 2, 3), dtype=np.uint8)
+        px[0, 0] = (255, 0, 0)
+        px[0, 1] = (0, 255, 0)
+        px[1, 0] = (0, 0, 255)
+        px[1, 1] = (9, 9, 9)
+        up = mm.decode_bmp(mm.resize_bmp_bytes(mm.encode_bmp(px), 4, 4))
+        assert up.shape == (4, 4, 3)
+        assert (up[0, 0] == (255, 0, 0)).all()
+        assert (up[0, 3] == (0, 255, 0)).all()
+        assert (up[3, 0] == (0, 0, 255)).all()
+        assert (up[3, 3] == (9, 9, 9)).all()
+
+    def test_resize_images_spark(self, spark, media_df):
+        import numpy as np
+
+        px = np.full((3, 5, 3), 42, dtype=np.uint8)
+        rows = [(900, "image", "image/bmp", bytearray(mm.encode_bmp(px)), None, None, None)]
+        bmp_df = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+        out = mm.resize_images(bmp_df.unionByName(media_df), 8, 6)
+        got = {r["media_id"]: r for r in out.collect()}
+        assert got[900]["resized"] is True
+        decoded = mm.decode_bmp(bytes(got[900]["payload"]))
+        assert decoded.shape == (6, 8, 3) and (decoded == 42).all()
+        # non-BMP payloads pass through un-resized
+        assert all(not r["resized"] for k, r in got.items() if k != 900)
