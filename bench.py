@@ -29,6 +29,7 @@ HEADLINE = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_lsh_verified",
     "dedup_simhash", "sim_ann_bruteforce", "sim_ann_lsh",
     "kg_lookup_fuzzy", "kg_typing_ner", "multimodal_features",
+    "multimodal_decode_real", "kg_canon_conflict",
 ]
 # dedup_ngram_jaccard (all-pairs gram self-join) is intentionally NOT a
 # headline query: it is the small-corpus oracle twin of

@@ -272,14 +272,14 @@ def run_flagship(
     replicate: int = 1,
 ) -> DataFrame:
     """Full pipeline on the synthesized source; returns canonical triples."""
-    from .session import tune_for_input_size
+    from .session import ckpt as _sckpt, tune_for_input_size
 
     n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     tune_for_input_size(spark, n_cust * 11 * replicate)  # orders add ~10x the rows
     labels, edges, degrees = synth_kg(spark, sf_dir)
-    labels = labels.localCheckpoint(eager=False)
-    edges = edges.localCheckpoint(eager=False)
-    degrees = degrees.localCheckpoint(eager=False)
+    labels = _sckpt(labels)
+    edges = _sckpt(edges)
+    degrees = _sckpt(degrees)
     src = synth_source(
         spark, sf_dir, max_tables=max_tables, include_orders=include_orders,
         replicate=replicate,

@@ -765,8 +765,14 @@ def _mat(df: DataFrame) -> DataFrame:
 
     On a cluster the pass OUTPUTS (cea/cta/cpa) additionally flow through the
     pipeline's reliable parquet checkpoints for resume; intermediates only
-    need lineage-truncation semantics."""
-    return df.localCheckpoint(eager=False)
+    need lineage-truncation semantics.
+
+    Storage level: serialized memory+disk via session.ckpt — see its
+    docstring (measured 10% off the replicate-4 flagship vs deserialized
+    blocks on this memory-path-bound host)."""
+    from ..session import ckpt
+
+    return ckpt(df, eager=False)
 
 
 def force_parallel(*dfs: DataFrame | None) -> None:
@@ -799,6 +805,14 @@ def force_parallel(*dfs: DataFrame | None) -> None:
     frames = [d for d in dfs if d is not None]
     if not frames:
         return
+    try:
+        if (
+            frames[0].sparkSession.conf.get("spark.graft.forceMaterialize", "true")
+            == "false"
+        ):
+            return  # fixture scale: per-job latency outweighs the wave win
+    except Exception:
+        pass
     probe = frames[0].agg(F.count(F.lit(1)).alias("n"))
     for d in frames[1:]:
         probe = probe.unionAll(d.agg(F.count(F.lit(1)).alias("n")))

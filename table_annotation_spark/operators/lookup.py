@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..session import bcast
+from ..session import bcast, ckpt as _sckpt
 
 from ..functions.similarity import lookup_fuzzy_pexact
 
@@ -286,7 +286,7 @@ def score_candidates(
         .withColumn("fuzzy_w", F.col("fuzzy") * origin_w)
         # lazy: truncate the plan under the UDF without a blocking job; the
         # four downstream branches share the one checkpointed RDD
-        .localCheckpoint(eager=False)
+        .transform(_sckpt)
     )
 
     w_mention = Window.partitionBy("mention_norm")
@@ -371,14 +371,14 @@ def lookup(
     """
     from .skew import salted_join
 
-    mentions = extract_mentions(body, col_classes).localCheckpoint(eager=False)
+    mentions = extract_mentions(body, col_classes).transform(_sckpt)
     distinct_mentions = mentions.select("mention_norm").distinct()
     pairs = candidate_pairs(
         distinct_mentions, labels, max_gram_df=max_gram_df,
         multi_resolution=multi_resolution,
         max_candidates_per_mention=max_candidates_per_mention,
     )
-    cand = score_candidates(pairs, idf, k=k).localCheckpoint(eager=False)
+    cand = score_candidates(pairs, idf, k=k).transform(_sckpt)
 
     # head surface forms ("USA") appear in millions of cells but have ≤K
     # candidates — the classic hot probe key. Salt it explicitly.

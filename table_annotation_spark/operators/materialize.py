@@ -121,8 +121,10 @@ def connected_components(
     """
     import warnings
 
+    from ..session import ckpt as _sckpt
+
     ckpt = checkpoint if checkpoint is not None else (
-        lambda df: df.localCheckpoint(eager=True)
+        lambda df: _sckpt(df, eager=True)
     )
     sym = ckpt(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators import lookup as lk
 from ..operators.annotation import AnnotationResult, annotate
 from ..operators.materialize import canonicalize, emit_triples, with_uris
+from ..session import ckpt as _sckpt
 from ..operators.preprocessing import (
     body_cells,
     column_meta,
@@ -97,16 +98,16 @@ class PipelineRun:
             cells = extract_cells(src)
             prep = preprocess_cells(cells)
             if not self.checkpoint_dir:
-                prep = prep.localCheckpoint(eager=False)
+                prep = prep.transform(_sckpt)
             prep = self._checkpoint("prep", prep)
             self.metrics["prep_sec"] = round(time.time() - t0, 3)
         manifest = extract_manifest(src)
 
         # pre-partition by table_id once: the annotation passes cluster every
         # join/groupBy/window on (table_id, ...) and reuse this partitioning
-        body = body_cells(prep).repartition("table_id").localCheckpoint(eager=False)
+        body = body_cells(prep).repartition("table_id").transform(_sckpt)
         cols = column_meta(prep)
-        classes = lk.classify_columns(cols, body).localCheckpoint(eager=False)
+        classes = lk.classify_columns(cols, body).transform(_sckpt)
 
         if self._is_done("candidates"):
             cand = self._load("candidates")
@@ -120,7 +121,7 @@ class PipelineRun:
                 max_candidates_per_mention=self.max_candidates_per_mention,
             )
             if not self.checkpoint_dir:
-                cand = cand.localCheckpoint(eager=True)
+                cand = _sckpt(cand, eager=True)
             cand = self._checkpoint("candidates", cand)
             self.metrics["lookup_sec"] = round(time.time() - t0, 3)
 

@@ -48,18 +48,33 @@ def tune_for_input_size(spark: SparkSession, approx_rows: int) -> None:
     scale). Both knobs are runtime-settable, so this works on a session we
     did not create (e.g. the driver's)."""
     if approx_rows < 1_000_000:
-        # Latency-bound regime: per-task overhead dominates per-task compute,
-        # so MORE tasks per stage is strictly worse (measured at sf0.1:
-        # 16 partitions → 236 s, 64 partitions → 576 s on local[32] in the
-        # serialized-job regime; re-validated after job fusion — see
-        # BENCH/BASELINE.md). AQE off for the same reason (per-exchange
-        # re-planning is serial driver time). At ≥1M rows AQE + default
-        # partitioning win. SPARK_GRAFT_SHUFFLE_OVERRIDE pins an explicit
-        # value for scaling experiments.
+        # AQE off below 1M rows: per-exchange re-planning is serial driver
+        # time that dwarfs per-stage compute at this size (596→98 s at
+        # fixture scale). Partition count is CORES-AWARE, 2× total cores —
+        # the conventional rule, re-validated in r3 under concurrent-stage
+        # execution + serialized checkpoint blocks (replicate-4 sf0.1,
+        # local[32]: 16→667 s, 32→587 s, 64→485 s, 128→679 s; the r2-era
+        # "16 beats 64" finding belonged to the serialized-JOB + deser-block
+        # regime and no longer holds). Tiny fixture inputs stay at ≤16 so
+        # per-task overhead can't dominate kB-scale stages.
+        # SPARK_GRAFT_SHUFFLE_OVERRIDE pins an explicit value for scaling
+        # experiments.
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         override = os.environ.get("SPARK_GRAFT_SHUFFLE_OVERRIDE")
-        parts = int(override) if override else min(16, max(4, approx_rows // 2000))
+        if override:
+            parts = int(override)
+        elif approx_rows < 50_000:
+            parts = min(16, max(4, approx_rows // 2000))
+        else:
+            parts = 2 * spark.sparkContext.defaultParallelism
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        # upfront wave-materialization of the annotation input frames only
+        # pays above fixture scale — at kB inputs the extra jobs ARE the
+        # cost (per-job latency dominates)
+        spark.conf.set(
+            "spark.graft.forceMaterialize",
+            "false" if approx_rows < 50_000 else "true",
+        )
         # small corpus: the per-table / per-column-pair dims really are tiny,
         # and lazily-checkpointed frames carry no stats, so the explicit
         # broadcast hints (annotation.bcast) are both safe and necessary
@@ -72,6 +87,26 @@ def tune_for_input_size(spark: SparkSession, approx_rows: int) -> None:
         # rows onto the driver. Let AQE pick the join strategy from runtime
         # sizes instead.
         spark.conf.set("spark.graft.forcedBroadcast", "false")
+
+
+def ckpt(df, eager: bool = False):
+    """localCheckpoint with the engine's storage policy: SERIALIZED
+    memory+disk blocks by default. Checkpointed blocks are unevictable for
+    the run and this host's scaling ceiling is its memory path (60-85%
+    kernel time during shuffle phases), so trading a little decode CPU for
+    3-5× smaller blocks measured 10% off the replicate-4 flagship.
+    SPARK_GRAFT_MAT_STORAGE=deser restores deserialized blocks (the classic
+    choice when RAM is ample). NB Spark 3.4+/4.x naming: MEMORY_AND_DISK is
+    the serialized variant, MEMORY_AND_DISK_DESER the deserialized
+    default."""
+    from pyspark.storagelevel import StorageLevel
+
+    level = (
+        StorageLevel.MEMORY_AND_DISK_DESER
+        if os.environ.get("SPARK_GRAFT_MAT_STORAGE") == "deser"
+        else StorageLevel.MEMORY_AND_DISK
+    )
+    return df.localCheckpoint(eager=eager, storageLevel=level)
 
 
 def bcast(df):

@@ -97,3 +97,40 @@ class TestBucketing:
         # acceptable plan has no shuffle Exchange between scan and aggregate
         assert "Exchange hashpartitioning(subj" not in plan
         assert "Scan parquet" in plan
+
+
+class TestCCJobBudget:
+    """The CC loop's driver-action diet: with the change flag folded into
+    each round's own groupBy, a converged run submits exactly
+    (2 init + rounds + probes) jobs — no per-check shuffle-join jobs."""
+
+    def test_cc_job_count_is_bounded(self, spark):
+        from pyspark.sql import functions as F
+
+        from table_annotation_spark.operators.materialize import (
+            connected_components,
+        )
+
+        # chain 1-2-3-4 plus isolated pair 10-11: diameter 3 → labels stop
+        # changing after round 3; check_every=2 probes at rounds 2 and 4
+        edges = spark.createDataFrame(
+            [("1", "2"), ("2", "3"), ("3", "4"), ("10", "11")], ["src", "dst"]
+        )
+        sc = spark.sparkContext
+        sc.setJobGroup("cc-budget", "cc job budget test")
+        try:
+            cc = connected_components(edges, max_iter=8, check_every=2)
+            got = {(r["node"], r["component"]) for r in cc.collect()}
+        finally:
+            sc.setJobGroup(None, None)
+        assert got == {
+            ("1", "1"), ("2", "1"), ("3", "1"), ("4", "1"),
+            ("10", "10"), ("11", "10"),
+        }
+        jobs = sc.statusTracker().getJobIdsForGroup("cc-budget")
+        # 2 init checkpoints + 4 round checkpoints (converged flag seen at
+        # the round-4 probe) + 2 limit(1) probes + 1 final collect = 9;
+        # allow +2 slack for limit-probe job splitting, never the old
+        # per-check join+count pattern (which added a multi-stage job per
+        # probe on top of this budget)
+        assert 7 <= len(jobs) <= 11, f"unexpected CC job count: {len(jobs)}"
