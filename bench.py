@@ -20,6 +20,10 @@ import re
 import sys
 import time
 
+# module-level so pandas_udf string-annotation resolution (forced by the
+# `annotations` future import) can find `pd` in the function's globals
+import pandas as pd  # noqa: F401
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
@@ -87,6 +91,12 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
+
+    if "--scaling-only" in sys.argv:  # quick iteration on the legs alone
+        out = {"sf": sf, "git_commit": _git_commit()}
+        out.update(scaling_report(sf_dir))
+        print(json.dumps(out))
+        return
 
     res = run_bench(sf_dir, cpus)
     out = {
@@ -162,12 +172,19 @@ def _machine_ceiling(n_lo: int, n_hi: int) -> float:
     return round(times[n_lo] / times[n_hi], 3)
 
 
-def _kernel_scaling(n_lo: int, n_hi: int) -> dict:
+def _kernel_scaling(n_lo: int, n_hi: int, ceiling: float | None = None) -> dict:
     """Data-plane scaling of the engine's hottest compute kernel: the
-    Arrow-batched fuzzy re-scorer (L5) over 400k synthetic mention/label
+    Arrow-batched fuzzy re-scorer (L5) over 3.2M synthetic mention/label
     pairs — pure executor work, no orchestration. This is what a 1000-executor
     cluster actually parallelizes; the end-to-end flagship number at sandbox
-    scale is dominated by constant driver latency instead (see BASELINE.md)."""
+    scale is dominated by constant driver latency instead (see BASELINE.md).
+
+    ``ceiling`` (the same-invocation raw-CPU sha256 measurement) yields
+    ``vs_machine_ceiling``: the 32 logical CPUs are 16 SMT cores, so NO
+    workload reaches 4× from 8→32 threads — the raw /4 "efficiency" encodes
+    SMT, not the kernel. The r3 bit-parallel kernel measures ~0.97 of the
+    machine's own ceiling (r2's interpreted kernel measured ~0.99 of its
+    day's ceiling; its headline 0.81 was 3.25/4 with a 3.3 ceiling)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -187,12 +204,27 @@ def _kernel_scaling(n_lo: int, n_hi: int) -> dict:
         def fuzzy(m: pd.Series, lbl: pd.Series) -> pd.Series:
             return pd.Series([mixed_fuzzy_score(a, b) for a, b in zip(m, lbl)])
 
+        # 1.2M pairs of ~55-char 6-token strings: sized so the 8-core leg
+        # runs ~15-25 s with the bit-parallel kernel — fixed session/job
+        # overhead (~1-2 s) must be noise, or the probe measures overhead
+        # scaling instead of kernel scaling (the r3 kernel is ~10× faster
+        # than r2's, which silently shrank the old 400k short-string probe
+        # below that bar). The longer token-rich shape also matches the
+        # real L5 workload (multi-token surface forms, typos in two spots).
         df = (
-            spark.range(400_000, numPartitions=int(cores) * 2)
-            .withColumn("m", F.concat(F.lit("customer record "),
-                                      (F.col("id") % 99991).cast("string")))
-            .withColumn("l", F.concat(F.lit("customer recrod "),
-                                      ((F.col("id") + 7) % 99991).cast("string")))
+            spark.range(1_200_000, numPartitions=int(cores) * 2)
+            .withColumn(
+                "m",
+                F.concat(F.lit("international customer account record "),
+                         (F.col("id") % 99991).cast("string"),
+                         F.lit(" northern region")),
+            )
+            .withColumn(
+                "l",
+                F.concat(F.lit("internatonal custmer account recrod "),
+                         ((F.col("id") + 7) % 99991).cast("string"),
+                         F.lit(" nothern region")),
+            )
         )
         df.select(fuzzy("m", "l").alias("s")).agg(F.sum("s")).collect()  # warm
         t0 = time.time()
@@ -200,61 +232,94 @@ def _kernel_scaling(n_lo: int, n_hi: int) -> dict:
         times[cores] = time.time() - t0
         spark.stop()
     speedup = round(times[str(n_lo)] / times[str(n_hi)], 3)
-    return {
+    out = {
         f"local[{n_lo}]_sec": round(times[str(n_lo)], 2),
         f"local[{n_hi}]_sec": round(times[str(n_hi)], 2),
         "speedup": speedup,
         "efficiency": round(speedup / (n_hi / n_lo), 3),
     }
+    if ceiling:
+        out["vs_machine_ceiling"] = round(speedup / ceiling, 3)
+    return out
 
 
 def scaling_report(
-    sf_dir: str, n_lo: int = 8, n_hi: int = 32, replicate: int | None = None
+    sf_dir: str, execs_lo: int = 1, execs_hi: int = 4, replicate: int | None = None
 ) -> dict:
-    """Same flagship job at two parallelism levels (the sandbox proxy for N
-    vs 4N executors) + a raw-CPU ceiling calibration + the data-plane kernel
-    scaling measurement.
+    """Same flagship job at two CLUSTER SIZES + a raw-CPU ceiling
+    calibration + the data-plane kernel scaling measurement.
 
-    The scaling legs run the flagship on a REPLICATED input (replicate=4 by
+    Default legs: ``local[8]`` vs ``local[32]`` (threads sharing one JVM).
+    ``SPARK_GRAFT_LC=1`` instead runs ``local-cluster[N,8,mem]`` — N
+    separate executor JVMs of a FIXED 8-core shape, the literal
+    two-cluster-size geometry (1 vs 4 executors). That mode is kept as a
+    measured NEGATIVE result on this sandbox: at rep4 input size the 4×8
+    leg is SLOWER than 1×8 (910 s vs 530 s) because loopback-socket shuffle
+    serialization, 4× broadcast copies and 4 Python worker pools dwarf the
+    extra cores on kB-per-partition data — single-box evidence cannot
+    exceed the box; see BENCH/BASELINE.md.
+
+    The legs run the flagship on a REPLICATED input (replicate=4 by
     default: every synthesized table appears 4× under distinct paths —
-    identical input for both legs). At the default bench size the flagship is
-    driver-latency-bound (86 jobs / ~1600 stages of fixed per-stage cost —
-    BENCH/BASELINE.md), which floors any core-count comparison; on the
-    replicated input per-stage compute dominates and the measurement reflects
-    the data-plane scaling a real cluster sees."""
+    identical input for both legs) so per-stage compute dominates the fixed
+    driver costs that floor any comparison at the default bench size."""
     import time as _t
 
     from table_annotation_spark.flagship import run_flagship
     from table_annotation_spark.session import get_spark
 
+    repo_root = os.path.dirname(os.path.abspath(__file__))
     replicate = replicate or int(os.environ.get("SPARK_GRAFT_SCALE_REP", "4"))
+    # NB: local-cluster's third arg is the WORKER's memory budget; the
+    # executor still launches with spark.executor.memory (default 1g!) and
+    # must be sized explicitly — the single-executor leg holds every
+    # serialized checkpoint block of the replicated run
+    exec_cores, exec_mem = 8, 17408
+    use_lc = os.environ.get("SPARK_GRAFT_LC") == "1"
     scaling = {}
-    for c in (n_lo, n_hi):
-        spark = get_spark(app_name=f"scale-{c}", master=f"local[{c}]")
+    for execs in (execs_lo, execs_hi):
+        if use_lc:
+            master = f"local-cluster[{execs},{exec_cores},{exec_mem}]"
+            spark = get_spark(
+                app_name=f"scale-{execs}x{exec_cores}", master=master,
+                extra_conf={
+                    "spark.executorEnv.PYTHONPATH": repo_root,
+                    "spark.executor.memory": "16g",
+                },
+            )
+        else:
+            master = f"local[{execs * exec_cores}]"
+            spark = get_spark(app_name=f"scale-{execs}", master=master)
         spark.sparkContext.setLogLevel("ERROR")
         t0 = _t.time()
         n = run_flagship(spark, sf_dir, replicate=replicate).count()
         dt = _t.time() - t0
-        scaling[f"local[{c}]"] = {
+        scaling[f"{execs}x{exec_cores}"] = {
+            "master": master,
             "flagship_sec": round(dt, 1),
             "triples": n,
             "triples_per_sec": round(n / dt, 1),
         }
         spark.stop()
-    t_lo = scaling[f"local[{n_lo}]"]["flagship_sec"]
-    t_hi = scaling[f"local[{n_hi}]"]["flagship_sec"]
+        _t.sleep(15)  # let worker/executor JVMs and page cache settle —
+        # back-to-back sessions contaminate the next phase's timing
+    t_lo = scaling[f"{execs_lo}x{exec_cores}"]["flagship_sec"]
+    t_hi = scaling[f"{execs_hi}x{exec_cores}"]["flagship_sec"]
+    n_lo, n_hi = execs_lo * exec_cores, execs_hi * exec_cores
     factor = n_hi / n_lo
     ceiling = _machine_ceiling(n_lo, n_hi)
     speedup = round(t_lo / t_hi, 3)
     return {
         "scaling": scaling,
+        "scaling_geometry": f"{execs_lo} vs {execs_hi} executors x {exec_cores} cores"
+        + (" (separate JVMs)" if use_lc else " (thread proxy, one JVM)"),
         "scaling_replicate": replicate,
         "scaling_speedup": speedup,
         "scaling_efficiency": round(speedup / factor, 3),
         "machine_cpu_ceiling_speedup": ceiling,
         "machine_cpu_ceiling_efficiency": round(ceiling / factor, 3),
         "ceiling_normalized_efficiency": round(speedup / ceiling, 3),
-        "kernel_scaling": _kernel_scaling(n_lo, n_hi),
+        "kernel_scaling": _kernel_scaling(n_lo, n_hi, ceiling=ceiling),
     }
 
 

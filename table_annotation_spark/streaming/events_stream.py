@@ -82,3 +82,96 @@ def annotate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """CUSTOM STATEFUL streaming operator: per-user gap sessionization via
+    ``applyInPandasWithState`` — the streaming twin of
+    ``operators.sessions.sessionize`` (same 30-min gap rule, same output
+    schema).
+
+    Per user, the state is the OPEN session's running aggregates
+    (session_seq, last event epoch, n_events, first/last event id). Each
+    micro-batch sorts its events by (epoch, event_id), closes a session
+    whenever the gap to the previous event exceeds the threshold (emitting
+    the closed session downstream), and re-arms an event-time timeout at
+    last_epoch + gap so a session with no successor event is flushed once
+    the watermark passes its close time. Emitted rows are therefore exactly
+    the CLOSED sessions; a session still open at end-of-stream stays in
+    state until a later batch's watermark advances past its timeout
+    (pinned by tests/test_multimodal_streaming.py::TestStatefulSessionize).
+
+    Scale shape: state is O(active users), keyed and shuffled once on
+    user_id; each micro-batch touches only keys with new events plus timed-
+    out keys — the standard watermark-bounded sessionization plan."""
+    import pandas as pd
+
+    from ..operators.sessions import SESSION_GAP_MIN
+
+    gap_s = SESSION_GAP_MIN * 60
+
+    def fn(key, pdfs, state):
+        user_id = key[0]
+        if state.hasTimedOut:
+            seq, _last, n, first, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id], "session_seq": [seq],
+                    "n_events": [n], "first_event": [first], "last_event": [last],
+                }
+            )
+            return
+        if state.exists:
+            seq, last_epoch, n, first, last = state.get
+            open_sess = True
+        else:
+            seq, last_epoch, n, first, last = 0, 0, 0, 0, 0
+            open_sess = False
+        out = {k: [] for k in
+               ("user_id", "session_seq", "n_events", "first_event", "last_event")}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["epoch", "event_id"])
+            for epoch, event_id in zip(pdf["epoch"], pdf["event_id"]):
+                epoch, event_id = int(epoch), int(event_id)
+                if open_sess and epoch - last_epoch > gap_s:
+                    out["user_id"].append(user_id)
+                    out["session_seq"].append(seq)
+                    out["n_events"].append(n)
+                    out["first_event"].append(first)
+                    out["last_event"].append(last)
+                    open_sess = False
+                if not open_sess:
+                    seq += 1
+                    n, first, last = 0, event_id, event_id
+                    open_sess = True
+                n += 1
+                first = min(first, event_id)
+                last = max(last, event_id)
+                last_epoch = epoch
+        if open_sess:
+            state.update((seq, last_epoch, n, first, last))
+            state.setTimeoutTimestamp((last_epoch + gap_s) * 1000)
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    events = events.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "epoch", F.unix_timestamp("ts")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id bigint, session_seq bigint, n_events bigint, "
+                "first_event bigint, last_event bigint"
+            ),
+            stateStructType=(
+                "session_seq bigint, last_epoch bigint, n_events bigint, "
+                "first_event bigint, last_event bigint"
+            ),
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )

@@ -174,3 +174,56 @@ class TestRealCodecs:
         assert decoded.shape == (6, 8, 3) and (decoded == 42).all()
         # non-BMP payloads pass through un-resized
         assert all(not r["resized"] for k, r in got.items() if k != 900)
+
+
+class TestStatefulSessionize:
+    def test_streamed_closed_sessions_match_batch(self, spark, tmp_path):
+        """sessionize_stream (applyInPandasWithState) ≡ batch sessionize:
+        every emitted session must be byte-identical to a batch session, and
+        every session the data definitely closed (a later event exists) MUST
+        be emitted. A user's final session may or may not flush within the
+        availableNow pass — it emits iff a later micro-batch's watermark
+        passes its event-time timeout, which depends on how the file source
+        splits batches — so the contract is closed ⊆ streamed ⊆ all, with
+        the difference composed only of final (potentially-open)
+        sessions."""
+        import table_annotation_spark.operators.sessions as sess
+        import table_annotation_spark.streaming.events_stream as es
+        from pyspark.sql import functions as F
+
+        sf_dir = "/root/testdata/sf0.001"
+        stream_dir = str(tmp_path / "events_stream")
+        spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(stream_dir)
+
+        stream = es.read_events_stream(spark, stream_dir)
+        q = es.run_to_memory(
+            es.sessionize_stream(stream), "stream_sessions", output_mode="append"
+        )
+        q.awaitTermination()
+        streamed = {
+            tuple(r) for r in spark.sql(
+                "select user_id, session_seq, n_events, first_event, last_event "
+                "from stream_sessions"
+            ).collect()
+        }
+
+        batch = sess.sessionize(spark, sf_dir)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.desc("session_seq"))
+        ranked = batch.withColumn("_r", F.row_number().over(w))
+        all_batch = {tuple(r) for r in ranked.drop("_r").collect()}
+        closed_batch = {
+            tuple(r) for r in ranked.where("_r > 1").drop("_r").collect()
+        }
+        final_batch = all_batch - closed_batch
+        assert streamed, "stream emitted no closed sessions"
+        # no invented sessions, none with wrong aggregates
+        assert streamed <= all_batch, f"spurious: {sorted(streamed - all_batch)[:5]}"
+        # every definitely-closed session was emitted
+        assert closed_batch <= streamed, (
+            f"missing closed: {sorted(closed_batch - streamed)[:5]}"
+        )
+        # whatever was withheld is exactly a subset of final sessions whose
+        # timeout no later watermark reached
+        assert (all_batch - streamed) <= final_batch
