@@ -25,6 +25,22 @@ from .plans.pipeline import PipelineRun
 from .sources import kg_build
 
 
+def _birthdate_col():
+    """Deterministic per-customer birthdate (yyyy-MM-dd): epoch + custkey%18000
+    days. The SAME expression feeds the customer CSV column AND the P569
+    DateTime edge in synth_kg, so the C7 DateTime literal path (date cell ↔
+    entity date edge, exact date_similarity → 1.0) fires end-to-end and the
+    emitted literal triples are independently restatable in the DuckDB oracle
+    (kg_queries.FLAGSHIP_LITERALS_SQL)."""
+    return F.date_format(
+        F.date_add(
+            F.to_date(F.lit("1970-01-01")),
+            (F.col("c_custkey") % 18000).cast("int"),
+        ),
+        "yyyy-MM-dd",
+    )
+
+
 def synth_source(
     spark: SparkSession,
     sf_dir: str,
@@ -46,6 +62,7 @@ def synth_source(
         .select(
             "n_nationkey", "n_name", "c_custkey", "c_name",
             F.floor(F.col("c_acctbal")).cast("bigint").alias("bal"),
+            _birthdate_col().alias("birth"),
         )
     )
     # numeric cutoff BEFORE paths are formatted — a lexicographic filter on
@@ -55,7 +72,9 @@ def synth_source(
     lines = c.select(
         "n_nationkey",
         F.col("c_custkey").alias("ord"),
-        F.concat_ws(",", "c_name", "n_name", F.col("bal").cast("string")).alias("line"),
+        F.concat_ws(
+            ",", "c_name", "n_name", F.col("bal").cast("string"), "birth"
+        ).alias("line"),
     )
     tables = (
         lines.groupBy("n_nationkey")
@@ -63,7 +82,7 @@ def synth_source(
         .select(
             "n_nationkey",
             F.concat(
-                F.lit("customer,nation,balance\n"),
+                F.lit("customer,nation,balance,birthdate\n"),
                 F.array_join(F.transform("rows", lambda r: r["line"]), "\n"),
                 F.lit("\n"),
             ).alias("content"),
@@ -236,6 +255,15 @@ def synth_kg(
         F.floor(F.col("c_acctbal")).cast("string").alias("obj"),
         F.lit("literal").alias("obj_kind"), F.lit("Quantity-1").alias("obj_type"),
     )
+    # customer birthdate literal (DateTime-Time → the LIVE C7 date branch:
+    # the value equals the CSV birthdate cell, so date_similarity scores 1.0
+    # and CPA resolves the (customer, birthdate) column pair to P569)
+    e_cust_birth = cust.select(
+        q_cust.alias("subj"), F.lit("P569").alias("pred"),
+        F.lit(False).alias("reverse"),
+        _birthdate_col().alias("obj"),
+        F.lit("literal").alias("obj_kind"), F.lit("DateTime-Time").alias("obj_type"),
+    )
     p279 = spark.createDataFrame(
         [
             ("Q9001", "P279", False, "Q9000", "entity", "NORMAL"),
@@ -252,6 +280,7 @@ def synth_kg(
         .unionByName(fwd_rev(e_nat_reg))
         .unionByName(fwd_rev(e_cust_nat))
         .unionByName(e_cust_bal)
+        .unionByName(e_cust_birth)
         .unionByName(fwd_rev(p279))
     )
     degrees = kg_build.degrees(edges)
@@ -276,10 +305,13 @@ def run_flagship(
 
     n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     tune_for_input_size(spark, n_cust * 11 * replicate)  # orders add ~10x the rows
-    labels, edges, degrees = synth_kg(spark, sf_dir)
+    labels, edges, _ = synth_kg(spark, sf_dir)
     labels = _sckpt(labels)
     edges = _sckpt(edges)
-    degrees = _sckpt(degrees)
+    # rebuild degrees ON TOP of the checkpointed edges (synth_kg derives it
+    # from the raw union, so checkpointing that plan would recompute edges
+    # from scratch instead of reusing wave-0's materialized blocks)
+    degrees = _sckpt(kg_build.degrees(edges))
     src = synth_source(
         spark, sf_dir, max_tables=max_tables, include_orders=include_orders,
         replicate=replicate,

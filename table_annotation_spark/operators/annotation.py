@@ -250,9 +250,15 @@ def build_inputs(
     # materialize the shared input frames in dependency waves BEFORE any
     # pass touches them inside serial broadcast evaluation (see
     # force_parallel docstring for both the why and the independence
-    # contract): wave 1 shares only the already-cached candidates/edges,
-    # wave 2 reads wave-1 aggregates, wave 3 reads waves 1-2.
+    # contract): waves 0a/0b pin the shared ancestors (edges/degrees arrive
+    # as LAZY checkpoints from the pipeline — nothing has materialized them
+    # yet, so putting their readers straight into one wave would race to
+    # compute them; degrees is typically DERIVED from edges, hence its own
+    # wave), wave 1's frames then share only cached ancestors, wave 2 reads
+    # wave-1 aggregates, wave 3 reads waves 1-2.
     force_waves(
+        [edges],
+        [degrees],
         [pair_rel, lit_match, types],
         [row_pairs],
         [ctx_entries, ctx_rels],
@@ -797,8 +803,19 @@ def force_parallel(*dfs: DataFrame | None) -> None:
     the replicate-4 flagship when the input frames were forced in one flat
     call. Dependent frames go in SEPARATE calls, in dependency order
     (``force_waves``). ``None`` entries are skipped so optional frames
-    (ctxless/potential) can be passed unconditionally."""
+    (ctxless/potential) can be passed unconditionally.
+
+    The contract is ENFORCED, not just documented: before submitting the
+    union-of-counts job, ``_wave_violations`` walks each member's RDD
+    lineage (driver-side, no job) and flags (a) a member whose lineage
+    contains another member and (b) a checkpoint-marked-but-unmaterialized
+    ancestor shared by ≥2 members. Violations warn by default and raise
+    under ``SPARK_GRAFT_WAVE_ASSERT=1`` (set in tests), so a future edit
+    that moves a frame into its parent's wave fails tests instead of
+    silently recomputing the parent (the measured 937-vs-731 s class of
+    regression)."""
     import os
+    import warnings
 
     if os.environ.get("SPARK_GRAFT_NO_FORCE") == "1":
         return
@@ -813,10 +830,88 @@ def force_parallel(*dfs: DataFrame | None) -> None:
             return  # fixture scale: per-job latency outweighs the wave win
     except Exception:
         pass
+    bad = _wave_violations(frames)
+    if bad:
+        msg = "force_parallel independence contract violated: " + "; ".join(bad)
+        if os.environ.get("SPARK_GRAFT_WAVE_ASSERT") == "1":
+            raise AssertionError(msg)
+        warnings.warn(msg, stacklevel=2)
     probe = frames[0].agg(F.count(F.lit(1)).alias("n"))
     for d in frames[1:]:
         probe = probe.unionAll(d.agg(F.count(F.lit(1)).alias("n")))
     probe.collect()
+
+
+def _wave_violations(frames, max_nodes: int = 5000) -> list[str]:
+    """Driver-side RDD-lineage audit of one force_parallel wave.
+
+    Every engine intermediate reaches a wave as a LAZY localCheckpoint, so
+    its analyzed plan is a LogicalRDD leaf whose RDD already exists (Spark
+    plans the checkpoint RDD at ``Dataset.checkpoint`` time even when
+    eager=False) but whose blocks do not. Two failure shapes:
+
+    - **member-in-member**: frame A's checkpoint RDD lineage passes through
+      frame B's checkpoint RDD — A derives from B, so running them in one
+      job races A's stages against B's own materialization.
+    - **shared unmaterialized checkpoint ancestor**: two members both read
+      an RDD that is checkpoint-MARKED (``checkpointData.isDefined``) but
+      not yet computed — concurrent stages race to compute it twice (the
+      block-cache dedupe is best-effort, not a barrier).
+
+    Plain shared subtrees (exchanges, parquet scans) are fine — exchange
+    reuse dedupes them inside the one probe plan — and ancestors whose
+    checkpoint has completed are fine, so neither is flagged. Pure RDD-DAG
+    walk: no planning, no AQE stage submission, no job."""
+    rdds = []
+    for d in frames:
+        try:
+            plan = d._jdf.queryExecution().analyzed()
+            rdds.append(plan.rdd() if plan.nodeName() == "LogicalRDD" else None)
+        except Exception:
+            rdds.append(None)
+    member_ids = {r.id(): i for i, r in enumerate(rdds) if r is not None}
+    problems: list[str] = []
+    # ancestor checkpoint-marked-unmaterialized RDD id -> set of member idx
+    shared: dict[int, set[int]] = {}
+    for i, root in enumerate(rdds):
+        if root is None:
+            continue
+        stack, seen = [root], set()
+        while stack and len(seen) < max_nodes:
+            cur = stack.pop()
+            try:
+                cid = cur.id()
+            except Exception:
+                continue
+            if cid in seen:
+                continue
+            seen.add(cid)
+            if cid != root.id():
+                j = member_ids.get(cid)
+                if j is not None and j != i:
+                    problems.append(
+                        f"wave member #{i} depends on wave member #{j} "
+                        f"(rdd {root.id()} -> rdd {cid})"
+                    )
+                    continue  # B materializes itself; no need to walk past it
+                try:
+                    if cur.checkpointData().isDefined() and not cur.isCheckpointed():
+                        shared.setdefault(cid, set()).add(i)
+                except Exception:
+                    pass
+            try:
+                deps = cur.dependencies().iterator()
+                while deps.hasNext():
+                    stack.append(deps.next().rdd())
+            except Exception:
+                continue
+    for cid, members in shared.items():
+        if len(members) > 1:
+            problems.append(
+                f"members {sorted(members)} share unmaterialized checkpoint "
+                f"ancestor rdd {cid} — materialize it in an earlier wave"
+            )
+    return problems
 
 
 def force_waves(*waves) -> None:

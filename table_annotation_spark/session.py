@@ -46,7 +46,14 @@ def tune_for_input_size(spark: SparkSession, approx_rows: int) -> None:
     costs ~0.5-1 s per exchange — a pure win at TB scale, a 6× slowdown on
     kB-scale fixture runs (measured: 596 s → 98 s with AQE off at fixture
     scale). Both knobs are runtime-settable, so this works on a session we
-    did not create (e.g. the driver's)."""
+    did not create (e.g. the driver's).
+
+    SPARK_GRAFT_FORCE_LARGE=1 pins the ≥1M-row posture regardless of the
+    estimate — the oracle/equivalence tests use it to exercise the
+    large-corpus configuration (AQE on, forced broadcast off, wave
+    materialization on) at small input sizes."""
+    if os.environ.get("SPARK_GRAFT_FORCE_LARGE") == "1":
+        approx_rows = max(approx_rows, 1_000_000)
     if approx_rows < 1_000_000:
         # AQE off below 1M rows: per-exchange re-planning is serial driver
         # time that dwarfs per-stage compute at this size (596→98 s at
@@ -81,12 +88,20 @@ def tune_for_input_size(spark: SparkSession, approx_rows: int) -> None:
         spark.conf.set("spark.graft.forcedBroadcast", "true")
     else:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        override = os.environ.get("SPARK_GRAFT_SHUFFLE_OVERRIDE")
+        if override:
+            spark.conf.set("spark.sql.shuffle.partitions", override)
         # large corpus: frames like tbl (row per table) and cpa_k (row per
         # table×column-pair) grow with the corpus — a forced broadcast hint
         # would bypass the 64 MB autoBroadcast safety and collect O(#tables)
         # rows onto the driver. Let AQE pick the join strategy from runtime
         # sizes instead.
         spark.conf.set("spark.graft.forcedBroadcast", "false")
+        # wave materialization is exactly the ≥1M-row posture it was built
+        # for; set it explicitly — the conf is sticky on a reused session,
+        # so inheriting a prior sub-50k run's "false" would silently disable
+        # it at the scale that needs it
+        spark.conf.set("spark.graft.forceMaterialize", "true")
 
 
 def ckpt(df, eager: bool = False):
@@ -162,10 +177,11 @@ def get_spark(
         # shuffle/spill files on tmpfs when available: the flagship writes
         # ~50k small shuffle blocks per run; on an overlayfs /tmp that is
         # 45-75% kernel time (measured via top %sy), on tmpfs it is memory.
-        # tmpfs is RAM-backed and capped, so it is only ADDED (never the
-        # sole dir) and only when it currently has headroom — Spark spreads
-        # files across the list, so /tmp always provides disk overflow room.
-        # SPARK_GRAFT_LOCAL_DIR overrides the whole list.
+        # _local_dirs() returns ONE dir: tmpfs alone when it has ≥16 GB
+        # headroom at session build, else /tmp alone. A tmpfs,/tmp pair was
+        # measured +30% wall (Spark hashes blocks evenly across the list),
+        # so ENOSPC safety comes from the upfront free-space gate, not an
+        # overflow dir. SPARK_GRAFT_LOCAL_DIR overrides the choice.
         .config("spark.local.dir", _local_dirs())
     )
     for k, v in (extra_conf or {}).items():
