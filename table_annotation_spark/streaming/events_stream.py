@@ -101,9 +101,12 @@ def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
     state until a later batch's watermark advances past its timeout
     (pinned by tests/test_multimodal_streaming.py::TestStatefulSessionize).
 
-    Scale shape: state is O(active users), keyed and shuffled once on
-    user_id; each micro-batch touches only keys with new events plus timed-
-    out keys — the standard watermark-bounded sessionization plan."""
+    Scale shape: state is O(distinct users) — open sessions carry full
+    aggregates, timed-out users shrink to a counter-only tombstone (a few
+    longs) that preserves the dense per-user session_seq the batch twin
+    computes; each micro-batch touches only keys with new events plus
+    timed-out keys. Trade session-numbering parity for O(active users)
+    state by keying sessions on their start epoch instead."""
     import pandas as pd
 
     from ..operators.sessions import SESSION_GAP_MIN
@@ -113,8 +116,17 @@ def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
     def fn(key, pdfs, state):
         user_id = key[0]
         if state.hasTimedOut:
-            seq, _last, n, first, last = state.get
-            state.remove()
+            seq, last_epoch, n, first, last = state.get
+            # flush the open session but KEEP a counter-only tombstone
+            # (n_events=0, no timeout re-armed): session_seq is a DENSE
+            # per-user counter in the batch twin, so a user who returns
+            # after a timeout must continue numbering, not restart at 1
+            # (caught by the exact-equality restart test). State is
+            # therefore O(distinct users), a few longs each — the
+            # unavoidable price of dense per-user numbering; switch the
+            # session identity to its start epoch if O(active users)
+            # state matters more than numbering parity.
+            state.update((seq, last_epoch, 0, 0, 0))
             yield pd.DataFrame(
                 {
                     "user_id": [user_id], "session_seq": [seq],
@@ -124,7 +136,7 @@ def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
             return
         if state.exists:
             seq, last_epoch, n, first, last = state.get
-            open_sess = True
+            open_sess = n > 0
         else:
             seq, last_epoch, n, first, last = 0, 0, 0, 0, 0
             open_sess = False
@@ -148,7 +160,13 @@ def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
                 n += 1
                 first = min(first, event_id)
                 last = max(last, event_id)
-                last_epoch = epoch
+                # max, not assignment: a late-but-within-watermark event from
+                # a LATER micro-batch (epoch < last_epoch — the per-batch sort
+                # only orders within one batch) must merge into the open
+                # session without regressing its end point, else the timeout
+                # re-arms earlier and later gaps are measured from the wrong
+                # origin, diverging from the batch twin
+                last_epoch = max(last_epoch, epoch)
         if open_sess:
             state.update((seq, last_epoch, n, first, last))
             state.setTimeoutTimestamp((last_epoch + gap_s) * 1000)

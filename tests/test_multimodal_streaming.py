@@ -227,3 +227,80 @@ class TestStatefulSessionize:
         # whatever was withheld is exactly a subset of final sessions whose
         # timeout no later watermark reached
         assert (all_batch - streamed) <= final_batch
+
+
+class TestStatefulSessionizeExact:
+    def test_multi_restart_closed_set_equals_batch_exactly(self, spark, tmp_path):
+        """Deterministic multi-pass harness for sessionize_stream: three
+        sequential availableNow runs over a growing file-source dir sharing
+        ONE checkpoint (run 1 = first half of events by time, run 2 = second
+        half + a far-future sentinel event, run 3 = a later sentinel). The
+        sentinels advance the watermark past every real session's event-time
+        timeout, so the final open sessions MUST flush — the streamed closed
+        set for real users equals batch ``sessionize`` output EXACTLY,
+        timeout-flushed tail included (strengthens the ⊆ contract of
+        test_streamed_closed_sessions_match_batch). Also exercises the
+        late-event path: run 2's second half arrives after run 1 closed its
+        watermark, and state recovery across query restarts."""
+        import table_annotation_spark.operators.sessions as sess
+        import table_annotation_spark.streaming.events_stream as es
+        from pyspark.sql import functions as F
+
+        sf_dir = "/root/testdata/sf0.001"
+        stream_dir = str(tmp_path / "events_exact")
+        ckpt_dir = str(tmp_path / "events_exact_ckpt")
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        schema = events.schema
+        # parquet ts is TIMESTAMP_NTZ — route through timestamp for numerics
+        epoch_col = F.unix_timestamp(F.col("ts").cast("timestamp"))
+        median_ts = events.select(
+            F.percentile_approx(epoch_col, 0.5).alias("m")
+        ).collect()[0]["m"]
+        max_ts = events.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+
+        first = events.where(epoch_col <= median_ts)
+        second = events.where(epoch_col > median_ts)
+
+        def sentinel(days: int, eid: int):
+            return spark.createDataFrame(
+                [(eid, max_ts + __import__("datetime").timedelta(days=days),
+                  -1, "sentinel", 0.0, "{}")],
+                schema,
+            )
+
+        out_dir = str(tmp_path / "events_exact_out")
+
+        def run_pass():
+            # parquet sink: the only built-in sink that supports restarting
+            # from an existing checkpoint (memory sink refuses recovery)
+            q = (
+                es.sessionize_stream(
+                    es.read_events_stream(spark, stream_dir, schema=schema)
+                )
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        first.write.mode("append").parquet(stream_dir)
+        run_pass()
+        second.unionByName(sentinel(30, 10_000_001)).write.mode("append").parquet(
+            stream_dir
+        )
+        run_pass()
+        sentinel(60, 10_000_002).write.mode("append").parquet(stream_dir)
+        run_pass()
+
+        out = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+        streamed_real = {t for t in out if t[0] != -1}
+        batch = {
+            tuple(r) for r in sess.sessionize(spark, sf_dir).collect()
+        }
+        assert streamed_real == batch, (
+            f"missing: {sorted(batch - streamed_real)[:5]} "
+            f"spurious: {sorted(streamed_real - batch)[:5]}"
+        )
