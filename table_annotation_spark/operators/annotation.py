@@ -170,7 +170,9 @@ def build_inputs(
     cached_pairs = (
         row_pairs.where("reliable").select("head_ent", "tail_ent").distinct()
     )
-    cached_rel = pair_rel.join(cached_pairs, ["head_ent", "tail_ent"])
+    # materialized: cpa_task joins this in passes 1, 3 AND 4 — without the
+    # checkpoint each pass re-runs the pair_rel ⋈ reliable-pairs join
+    cached_rel = _mat(pair_rel.join(cached_pairs, ["head_ent", "tail_ent"]))
 
     lit_match = _mat(ctx.literal_matches(cand, body, col_classes, edges))
     lit_cpa = lit_match.select("entity", "lit_cell", "pid").distinct()
@@ -261,7 +263,7 @@ def build_inputs(
         [degrees],
         [pair_rel, lit_match, types],
         [row_pairs],
-        [ctx_entries, ctx_rels],
+        [ctx_entries, ctx_rels, cached_rel],
     )
 
     return AnnotInputs(
@@ -344,8 +346,10 @@ def entity_scores_soft(
     scaled = max(0.1, scale·score); numerator Σ weight·scaled, denominator
     Σ base_weight; final = ctx̄·σ(sim) when max weight>0.1 else 0.1·sim.
 
-    Returns (scores, contextless, potential) — the latter two only when
-    last_step (loop 4, annotation_models.py:743-765)."""
+    Returns (scores, contextless, potential, scored) — contextless/potential
+    only when last_step (loop 4, annotation_models.py:743-765); scored is
+    the materialized shared interior frame (last_step only) so the caller
+    can force it in its own wave before the three consumers run."""
     e = weighted_entries
     if unrelated_pairs is not None:
         e = e.join(
@@ -375,6 +379,12 @@ def entity_scores_soft(
         "scaled",
         F.greatest(F.lit(0.1), F.coalesce("scale", F.lit(0.0)) * F.col("score")),
     )
+    if last_step:
+        # three outputs (scores, contextless, potential) consume this frame;
+        # without a checkpoint each one re-derives the whole considered ⋈
+        # ctx_rels ⋈ cpa subtree in its own job (the scored subtree is the
+        # dominant pass-4 cost — measured 3× recompute at replicate-4)
+        scored = _mat(scored)
     base = F.when(F.col("ctx_kind") == "entity", SEMANTIC_W).otherwise(LITERAL_W)
     agg = scored.groupBy("table_id", "row_idx", "col_idx", "entity").agg(
         F.sum(F.col("weight") * F.col("scaled")).alias("num"),
@@ -395,7 +405,7 @@ def entity_scores_soft(
     scores = s.select(*cand_key, "sim", final.alias("score"))
 
     if not last_step:
-        return scores, None, None
+        return scores, None, None, None
 
     # contextless cells: max scaled per CELL; cells with no considered entries → 0.1
     ctxless = (
@@ -412,8 +422,10 @@ def entity_scores_soft(
     )
 
     # potential candidates: candidate has a (direction-adjusted) CPA pid in its
-    # pid set (annotation_models.py:750-765); composite "::" ids never match
-    cand_pairs = considered.select(
+    # pid set (annotation_models.py:750-765); composite "::" ids never match.
+    # Derived from the MATERIALIZED scored frame (same columns as considered
+    # plus score fields) so this consumer shares the checkpoint too.
+    cand_pairs = scored.select(
         *cand_key, "ctx_col", "ctx_kind", "head_col", "tail_col"
     ).distinct()
     pc = cand_pairs.join(bcast(cpa_k), ["table_id", "head_col", "tail_col"]).where(
@@ -433,7 +445,7 @@ def entity_scores_soft(
         F.max("coverage").alias("cpa_coeff"),
         F.count(F.lit(1)).alias("n_potential"),
     )
-    return scores, ctxless, potential
+    return scores, ctxless, potential, scored
 
 
 # --------------------------------------------------------------------- CEA
@@ -951,7 +963,7 @@ def annotate(
     # pass 2: soft re-weighting
     t0 = _t.time()
     we = update_context_weights(inp, cpa1)
-    s2, _, _ = entity_scores_soft(inp, we, cpa1)
+    s2, _, _, _ = entity_scores_soft(inp, we, cpa1)
     s2 = _mat(s2)
     cea2 = cea_task(inp, s2, cta=None, only_one=False)
     cta2 = _mat(cta_task(inp, cea2, only_one=False))
@@ -973,7 +985,7 @@ def annotate(
     # CPA used for scale factors advances to CPA³.
     t0 = _t.time()
     unrelated = _mat(literal_context_restriction(inp, cpa3))
-    s3, ctxless, potential = entity_scores_soft(
+    s3, ctxless, potential, scored = entity_scores_soft(
         inp, we, cpa3, unrelated_pairs=unrelated, last_step=True
     )
     s3 = _mat(s3)
@@ -981,9 +993,12 @@ def annotate(
         ctxless = _mat(ctxless)
     if potential is not None:
         potential = _mat(potential)
-    # s3/ctxless/potential all come from one entity_scores_soft call and
-    # share its interior DAG (and read `unrelated`) — strictly sequential
-    force_waves([unrelated], [s3], [ctxless], [potential])
+    # the shared interior `scored` frame is checkpointed inside
+    # entity_scores_soft and forced in its own wave (it reads `unrelated`),
+    # so s3/ctxless/potential become mutually independent consumers of a
+    # materialized ancestor — one parallel wave instead of three sequential
+    # recomputes of the scored subtree
+    force_waves([unrelated], [scored], [s3, ctxless, potential])
     cea4 = _mat(
         cea_task(
             inp, s3, cta=cta3, only_one=True, contextless=ctxless, potential=potential

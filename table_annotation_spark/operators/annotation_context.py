@@ -354,15 +354,20 @@ def supertypes(types: DataFrame, edges: DataFrame) -> DataFrame:
     p279 = edges.where(
         (F.col("pred") == "P279") & (~F.col("reverse")) & (F.col("obj_kind") == "entity")
     ).select(F.col("subj").alias("type"), F.col("obj").alias("supertype"))
-    return types.select("type").distinct().join(p279, "type")
+    # the distinct type set is tiny (bounded by the corpus's CTA vocabulary)
+    # but derived from a lazily-checkpointed frame — no stats, so without the
+    # size-gated hint this join SHUFFLES the whole P279 edge projection
+    return bcast(types.select("type").distinct()).join(p279, "type")
 
 
 def type_neighbors(cta_types: DataFrame, edges: DataFrame) -> DataFrame:
     """C14 type-graph: (type, neighbor) — 1-hop entity neighbors of each CTA
     type, excluding the (-)P31 instance fan-in (annotation_models.py:954-965)."""
     e = entity_edges(edges).where(~((F.col("rel") == "(-)P31")))
+    # same stats-less-small-side shape as supertypes: hint the distinct CTA
+    # type set so the edge store streams map-side instead of shuffling
     return (
-        cta_types.select(F.col("type")).distinct()
+        bcast(cta_types.select(F.col("type")).distinct())
         .join(e, F.col("type") == e["subj"])
         .select("type", F.col("obj").alias("neighbor"))
         .distinct()
