@@ -243,11 +243,54 @@ def _kernel_scaling(n_lo: int, n_hi: int, ceiling: float | None = None) -> dict:
     return out
 
 
+def _one_leg(master: str, app: str, sf_dir: str, replicate: int,
+             extra_conf: dict | None = None, env: dict | None = None) -> dict:
+    """Fresh session → replicated flagship → seconds+triples → session down."""
+    import time as _t
+
+    from table_annotation_spark.flagship import run_flagship
+    from table_annotation_spark.session import get_spark
+
+    old_env = {}
+    for k, v in (env or {}).items():
+        old_env[k] = os.environ.get(k)
+        os.environ[k] = v
+    try:
+        spark = get_spark(app_name=app, master=master, extra_conf=extra_conf)
+        spark.sparkContext.setLogLevel("ERROR")
+        t0 = _t.time()
+        n = run_flagship(spark, sf_dir, replicate=replicate).count()
+        dt = _t.time() - t0
+        conf = {
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled", "?"),
+            "forced_broadcast": spark.conf.get("spark.graft.forcedBroadcast", "?"),
+        }
+        spark.stop()
+    finally:
+        for k, v in old_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    _t.sleep(15)  # let JVM teardown and page cache settle — back-to-back
+    # sessions contaminate the next leg's timing
+    return {"sec": round(dt, 1), "triples": n, "conf": conf}
+
+
 def scaling_report(
     sf_dir: str, execs_lo: int = 1, execs_hi: int = 4, replicate: int | None = None
 ) -> dict:
-    """Same flagship job at two CLUSTER SIZES + a raw-CPU ceiling
-    calibration + the data-plane kernel scaling measurement.
+    """Same flagship job at two CLUSTER SIZES, drift-proofed, + a raw-CPU
+    ceiling calibration + the data-plane kernel scaling measurement + one
+    oracle-anchored large-corpus (AQE-path) leg.
+
+    Drift-proofing (this host's throughput drifts ±30% between two-hour
+    windows — VERDICT r3): the legs are INTERLEAVED (lo,hi,lo,hi — ≥2
+    replicates per size, SPARK_GRAFT_SCALE_REPS) so slow-host windows hit
+    both sizes symmetrically; the reported speedup is median(lo)/median(hi)
+    and each leg carries its own spread so the artifact bounds its own
+    variance. The machine ceiling (raw sha256 multiprocessing) is measured
+    in the SAME invocation, between the leg pairs.
 
     Default legs: ``local[8]`` vs ``local[32]`` (threads sharing one JVM).
     ``SPARK_GRAFT_LC=1`` instead runs ``local-cluster[N,8,mem]`` — N
@@ -262,57 +305,75 @@ def scaling_report(
     The legs run the flagship on a REPLICATED input (replicate=4 by
     default: every synthesized table appears 4× under distinct paths —
     identical input for both legs) so per-stage compute dominates the fixed
-    driver costs that floor any comparison at the default bench size."""
-    import time as _t
+    driver costs that floor any comparison at the default bench size.
 
-    from table_annotation_spark.flagship import run_flagship
-    from table_annotation_spark.session import get_spark
+    The AQE leg (SPARK_GRAFT_AQE_LEG=0 to skip) runs replicate=8 —
+    1.32M estimated input rows, naturally crossing the ≥1M threshold of
+    ``tune_for_input_size`` — so the large-corpus posture (AQE on, forced
+    broadcast hints off, runtime join strategies) executes END-TO-END, and
+    its triple count is verified against the rep4 legs from the same run
+    (replicate linearity: rep8 = 2 × rep4; content is pinned separately by
+    the closed-form oracle in tests/test_aqe_large.py)."""
+    import statistics
 
     repo_root = os.path.dirname(os.path.abspath(__file__))
     replicate = replicate or int(os.environ.get("SPARK_GRAFT_SCALE_REP", "4"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2")))
     # NB: local-cluster's third arg is the WORKER's memory budget; the
     # executor still launches with spark.executor.memory (default 1g!) and
     # must be sized explicitly — the single-executor leg holds every
     # serialized checkpoint block of the replicated run
     exec_cores, exec_mem = 8, 17408
     use_lc = os.environ.get("SPARK_GRAFT_LC") == "1"
-    scaling = {}
-    for execs in (execs_lo, execs_hi):
+
+    def leg(execs: int) -> dict:
         if use_lc:
             master = f"local-cluster[{execs},{exec_cores},{exec_mem}]"
-            spark = get_spark(
-                app_name=f"scale-{execs}x{exec_cores}", master=master,
+            return _one_leg(
+                master, f"scale-{execs}x{exec_cores}", sf_dir, replicate,
                 extra_conf={
                     "spark.executorEnv.PYTHONPATH": repo_root,
                     "spark.executor.memory": "16g",
                 },
             )
-        else:
-            master = f"local[{execs * exec_cores}]"
-            spark = get_spark(app_name=f"scale-{execs}", master=master)
-        spark.sparkContext.setLogLevel("ERROR")
-        t0 = _t.time()
-        n = run_flagship(spark, sf_dir, replicate=replicate).count()
-        dt = _t.time() - t0
-        scaling[f"{execs}x{exec_cores}"] = {
-            "master": master,
-            "flagship_sec": round(dt, 1),
-            "triples": n,
-            "triples_per_sec": round(n / dt, 1),
-        }
-        spark.stop()
-        _t.sleep(15)  # let worker/executor JVMs and page cache settle —
-        # back-to-back sessions contaminate the next phase's timing
-    t_lo = scaling[f"{execs_lo}x{exec_cores}"]["flagship_sec"]
-    t_hi = scaling[f"{execs_hi}x{exec_cores}"]["flagship_sec"]
+        return _one_leg(f"local[{execs * exec_cores}]", f"scale-{execs}",
+                        sf_dir, replicate)
+
+    times: dict[int, list[float]] = {execs_lo: [], execs_hi: []}
+    triples_rep = None
+    for _ in range(reps):
+        for execs in (execs_lo, execs_hi):
+            r = leg(execs)
+            times[execs].append(r["sec"])
+            triples_rep = r["triples"]
+
     n_lo, n_hi = execs_lo * exec_cores, execs_hi * exec_cores
     factor = n_hi / n_lo
     ceiling = _machine_ceiling(n_lo, n_hi)
-    speedup = round(t_lo / t_hi, 3)
-    return {
-        "scaling": scaling,
+    med_lo = statistics.median(times[execs_lo])
+    med_hi = statistics.median(times[execs_hi])
+    speedup = round(med_lo / med_hi, 3)
+
+    def leg_stats(execs: int, med: float) -> dict:
+        ts = times[execs]
+        return {
+            "master": (f"local-cluster[{execs},{exec_cores},{exec_mem}]"
+                       if use_lc else f"local[{execs * exec_cores}]"),
+            "flagship_sec_runs": ts,
+            "flagship_sec_median": round(med, 1),
+            "spread": round((max(ts) - min(ts)) / med, 3) if med else None,
+            "triples": triples_rep,
+            "triples_per_sec": round(triples_rep / med, 1) if med else None,
+        }
+
+    out = {
+        "scaling": {
+            f"{execs_lo}x{exec_cores}": leg_stats(execs_lo, med_lo),
+            f"{execs_hi}x{exec_cores}": leg_stats(execs_hi, med_hi),
+        },
         "scaling_geometry": f"{execs_lo} vs {execs_hi} executors x {exec_cores} cores"
-        + (" (separate JVMs)" if use_lc else " (thread proxy, one JVM)"),
+        + (" (separate JVMs)" if use_lc else " (thread proxy, one JVM)")
+        + f", {reps} interleaved replicates per size, median reported",
         "scaling_replicate": replicate,
         "scaling_speedup": speedup,
         "scaling_efficiency": round(speedup / factor, 3),
@@ -321,6 +382,24 @@ def scaling_report(
         "ceiling_normalized_efficiency": round(speedup / ceiling, 3),
         "kernel_scaling": _kernel_scaling(n_lo, n_hi, ceiling=ceiling),
     }
+
+    if not use_lc and os.environ.get("SPARK_GRAFT_AQE_LEG", "1") != "0":
+        aqe_rep = 2 * replicate  # 8 by default → ≥1M estimated rows
+        r = _one_leg(f"local[{n_hi}]", f"scale-aqe-{aqe_rep}", sf_dir, aqe_rep)
+        expected = triples_rep * aqe_rep // replicate
+        out["aqe_rep8"] = {
+            "master": f"local[{n_hi}]",
+            "replicate": aqe_rep,
+            "flagship_sec": r["sec"],
+            "triples": r["triples"],
+            "triples_expected_from_rep4_linearity": expected,
+            "verified": r["triples"] == expected,
+            # ACTUAL posture the leg ran with (the large-corpus branch
+            # engages naturally when estimated rows cross 1M — replicate 8
+            # at sf0.1; a smoke run at tiny sf records the small posture)
+            "config_engaged": r["conf"],
+        }
+    return out
 
 
 
