@@ -106,6 +106,25 @@ def build_light_inputs(body: DataFrame, col_classes: DataFrame) -> AnnotInputs:
     )
 
 
+def _localize(df: DataFrame) -> DataFrame:
+    """Driver-localize a tiny dim frame under the small-corpus posture:
+    collect it once and rebuild it as a LocalRelation. Every later broadcast
+    of the frame then costs a no-job local copy instead of a re-evaluated
+    plan + collect job — the per-table / per-column-pair dims are hinted into
+    ~20 joins across the 4 passes, and each hint used to re-run the dim's
+    aggregation inside serial broadcast evaluation (the main per-job driver
+    latency term at bench scale). Gated on the same conf as ``bcast``: in the
+    large-corpus posture these frames grow with the corpus (O(#tables) rows)
+    and must stay distributed — AQE picks their join strategies there."""
+    spark = df.sparkSession
+    try:
+        if spark.conf.get("spark.graft.forcedBroadcast", "true") == "false":
+            return df
+    except Exception:
+        pass
+    return spark.createDataFrame(df.collect(), schema=df.schema)
+
+
 def build_inputs(
     cand: DataFrame,
     body: DataFrame,
@@ -113,6 +132,7 @@ def build_inputs(
     edges: DataFrame,
     degrees: DataFrame,
     multihop: bool = True,
+    timings: dict | None = None,
 ) -> AnnotInputs:
     """Assemble all pass-invariant inputs (the scale-heavy KG joins)."""
     # ONE upfront exchange on table_id: every annotation-side join, groupBy
@@ -121,18 +141,41 @@ def build_inputs(
     # replaces the per-operator exchanges across all four passes (the small
     # dims that join in are explicitly broadcast below; lazily-checkpointed
     # frames carry no stats, so auto-broadcast never fires with AQE off).
+    import time as _t
+
+    _marks: list[tuple[str, float]] = [("start", _t.time())]
+
+    def _mark(label: str) -> None:
+        _marks.append((label, _t.time()))
+
     cand = cand.select(
         "table_id", "row_idx", "col_idx", "cell", "entity",
         F.col("score").alias("sim"),
     ).repartition("table_id")
     fr = _frame_inputs(body, col_classes)
-    ecols, lcols = fr["ecols"], fr["lcols"]
-    ecol_pairs, el_pairs = fr["ecol_pairs"], fr["el_pairs"]
-    tbl, lit_cells = fr["tbl"], fr["lit_cells"]
+    lit_cells = fr["lit_cells"]
+    ecols, lcols = _localize(fr["ecols"]), _localize(fr["lcols"])
+    ecol_pairs, el_pairs = _localize(fr["ecol_pairs"]), _localize(fr["el_pairs"])
+    tbl = _localize(fr["tbl"])
+    _mark("localize")
 
-    pair_rel = _mat(ctx.pair_relations(cand, ecol_pairs, edges, degrees, multihop))
+    # Construction is INTERLEAVED with wave forcing: Dataset.localCheckpoint
+    # plans eagerly even with eager=False, and physical planning evaluates
+    # any broadcast child on the spot — so a frame's plan must only be built
+    # once every heavy frame its broadcasts read is already materialized,
+    # else the broadcast evaluation recomputes that ancestor serially at
+    # plan-construction time (measured: bcast(best) inside row_pairs used to
+    # recompute pair_rel + rp_base before wave 2 ever ran). Wave membership
+    # still honors the force_parallel independence contract.
 
-    # per-row candidate pairs with context gates (C6, annotation_models.py:536-556)
+    # wave 0: the shared ancestors. edges arrives as a LAZY checkpoint from
+    # the pipeline — nothing has materialized it yet, so its readers can't
+    # go in the same wave; rp_base (the per-row candidate pair frame, C6
+    # domain) reads only the eager candidates checkpoint and localized dims,
+    # so it rides along. rp_base is computed ONCE and shared by BOTH
+    # consumers of the row-level self-join — the distinct co-occurring pair
+    # set that seeds pair_rel, and row_pairs (previously each ran its own
+    # h ⋈ t ⋈ ecol_pairs, the single most expensive join here, twice).
     h = cand.select(
         "table_id", "row_idx", F.col("col_idx").alias("head_col"),
         F.col("entity").alias("head_ent"), F.col("sim").alias("head_sim"),
@@ -143,13 +186,53 @@ def build_inputs(
         F.col("entity").alias("tail_ent"), F.col("sim").alias("tail_sim"),
         F.length("cell").alias("tail_len"),
     )
-    best = pair_rel.groupBy("head_ent", "tail_ent").agg(F.max("prox").alias("best_prox"))
-    rp = (
+    rp_base = _mat(
         h.join(t, ["table_id", "row_idx"])
         .join(bcast(ecol_pairs), ["table_id", "head_col", "tail_col"])
         .where(F.col("head_ent") != F.col("tail_ent"))
-        .join(best, ["head_ent", "tail_ent"], "left")
     )
+    _force_wave("w0_edges_rpbase", [edges, rp_base], timings)
+    _mark("w0")
+
+    # wave 1: KG-side inputs — all read the now-materialized edges (degrees
+    # is DERIVED from the checkpointed edges; j_lit's unit-symbol broadcast
+    # scans edges at plan time, after wave 0)
+    degrees_w = degrees
+    j_lit = _mat(ctx.literal_match_join(cand, body, col_classes, edges))
+    ents = cand.select("entity").distinct()
+    types = _mat(ctx.entity_types(ents, edges))
+    # pass-4's potential-candidates rule is ent_pids' only consumer, but it
+    # sits under a wide edges join+distinct — materialize it with the other
+    # KG-side inputs instead of inside pass 4's s3/ctxless/potential wave
+    ent_pids = _mat(ctx.entity_pids(ents, edges))
+    _force_wave("w1_kg_side", [degrees_w, j_lit, types, ent_pids], timings)
+    _mark("w1")
+
+    super_t = ctx.supertypes(types, edges)
+
+    # wave 2: pair relations over the distinct co-occurring pair set (its
+    # degree-damping broadcast reads wave-1's degrees) ∥ the C7 match kernel
+    # over wave-1's distinct literal value tuples
+    pair_rel = _mat(
+        ctx.pair_relations_for_pairs(
+            rp_base.select("head_ent", "tail_ent").distinct(),
+            edges, degrees, multihop,
+        )
+    )
+    lit_keys = _mat(ctx.literal_match_keys(j_lit))
+    _force_wave("w2_pair_rel", [pair_rel, lit_keys], timings)
+    _mark("w2")
+
+    # the rejoin is a broadcast-hash lookup over the cached row-scale domain
+    lit_match = _mat(ctx.literal_matches_from(j_lit, lit_keys))
+    lit_cpa = lit_match.select("entity", "lit_cell", "pid").distinct()
+
+    # wave 3: per-row context gates (C6, annotation_models.py:536-556).
+    # best/cached_pairs/pair_rel are bounded by the DISTINCT co-occurring
+    # pair set (not by rows), so under the small-corpus posture they
+    # broadcast and the 100×-larger row-level frames never re-shuffle.
+    best = pair_rel.groupBy("head_ent", "tail_ent").agg(F.max("prox").alias("best_prox"))
+    rp = rp_base.join(bcast(best), ["head_ent", "tail_ent"], "left")
     thr_tail = F.when(F.col("tail_len") > 5, 0.7).otherwise(0.9)
     thr_head = F.when(F.col("head_len") > 5, 0.7).otherwise(0.9)
     head_score = F.when(
@@ -166,16 +249,16 @@ def build_inputs(
         "reliable", (F.col("head_score") > 0.1) | (F.col("tail_score") > 0.1)
     )
     row_pairs = _mat(row_pairs)
+    _force_wave("w3_row_pairs", [row_pairs, lit_match], timings)
+    _mark("w3")
 
+    # wave 4: everything derived from row_pairs + lit_match + pair_rel
     cached_pairs = (
         row_pairs.where("reliable").select("head_ent", "tail_ent").distinct()
     )
     # materialized: cpa_task joins this in passes 1, 3 AND 4 — without the
     # checkpoint each pass re-runs the pair_rel ⋈ reliable-pairs join
-    cached_rel = _mat(pair_rel.join(cached_pairs, ["head_ent", "tail_ent"]))
-
-    lit_match = _mat(ctx.literal_matches(cand, body, col_classes, edges))
-    lit_cpa = lit_match.select("entity", "lit_cell", "pid").distinct()
+    cached_rel = _mat(pair_rel.join(bcast(cached_pairs), ["head_ent", "tail_ent"]))
 
     # context entries: domain = candidate × other entity cols ∪ literal cols ≥ col
     dom_e = cand.join(
@@ -224,7 +307,7 @@ def build_inputs(
     # (previously computed twice — once per side)
     rp_rel = _mat(
         row_pairs.where("reliable")
-        .join(pair_rel, ["head_ent", "tail_ent"])
+        .join(bcast(pair_rel), ["head_ent", "tail_ent"])
         .select("table_id", "row_idx", "head_col", "tail_col",
                 "head_ent", "tail_ent", "rel")
     )
@@ -243,28 +326,12 @@ def build_inputs(
         F.col("lit_col").alias("ctx_col"), F.col("pid").alias("rel"),
     )
     ctx_rels = _mat(rels_h.unionByName(rels_t).unionByName(rels_l).distinct())
+    _force_wave("w4_ctx", [ctx_entries, ctx_rels, cached_rel], timings)
+    _mark("w4")
 
-    ents = cand.select("entity").distinct()
-    types = _mat(ctx.entity_types(ents, edges))
-    super_t = ctx.supertypes(types, edges)
-    ent_pids = ctx.entity_pids(ents, edges)
-
-    # materialize the shared input frames in dependency waves BEFORE any
-    # pass touches them inside serial broadcast evaluation (see
-    # force_parallel docstring for both the why and the independence
-    # contract): waves 0a/0b pin the shared ancestors (edges/degrees arrive
-    # as LAZY checkpoints from the pipeline — nothing has materialized them
-    # yet, so putting their readers straight into one wave would race to
-    # compute them; degrees is typically DERIVED from edges, hence its own
-    # wave), wave 1's frames then share only cached ancestors, wave 2 reads
-    # wave-1 aggregates, wave 3 reads waves 1-2.
-    force_waves(
-        [edges],
-        [degrees],
-        [pair_rel, lit_match, types],
-        [row_pairs],
-        [ctx_entries, ctx_rels, cached_rel],
-    )
+    if timings is not None:
+        for (lbl, tm), (_, prev) in zip(_marks[1:], _marks[:-1]):
+            timings[f"bi_seg_{lbl}"] = round(tm - prev, 2)
 
     return AnnotInputs(
         cand=cand, ecols=ecols, lcols=lcols, tbl=tbl,
@@ -436,9 +503,10 @@ def entity_scores_soft(
         is_tail & F.col("rel").startswith("(-)"), F.expr("substring(rel, 4)")
     ).when(is_tail, F.concat(F.lit("(-)"), F.col("rel"))).otherwise(F.col("rel"))
     pc = pc.withColumn("need_pid", adjusted)
+    ep = bcast(inp.ent_pids)
     matched = pc.join(
-        inp.ent_pids,
-        (pc["entity"] == inp.ent_pids["entity"]) & (pc["need_pid"] == inp.ent_pids["pid"]),
+        ep,
+        (pc["entity"] == ep["entity"]) & (pc["need_pid"] == ep["pid"]),
     ).select(pc["table_id"], pc["row_idx"], pc["col_idx"], pc["entity"],
              "coverage", "rel")
     potential = matched.groupBy(*cand_key).agg(
@@ -462,38 +530,44 @@ def cea_task(
     cand_key = ["table_id", "row_idx", "col_idx", "entity"]
     s = scores
     if cta is not None:
-        # per (column, candidate): best level-weighted CTA match
+        # per (column, candidate): best level-weighted CTA match.
+        # The whole disambiguation credit is ROW-INDEPENDENT — cta_score is
+        # per (table, col, type) and the level weight per (entity, type) —
+        # so it is computed at the (table_id, col_idx, entity) grain
+        # (bounded by column × candidate-entity combinations, ~100× smaller
+        # than the candidate frame) and broadcast back onto the row-scale
+        # scores; the row-scale frame never shuffles for CTA credit.
         cta_c = cta.select(
             "table_id", F.col("col_idx"), F.col("type").alias("cta_type"),
             F.col("score").alias("cta_score"), F.col("coverage").alias("cta_cov"),
         )
-        # candidate's own 3-level types
-        cmatch = (
-            s.select(*cand_key)
-            .join(bcast(cta_c), ["table_id", "col_idx"])
-        )
+        col_ent = s.select("table_id", "col_idx", "entity").distinct()
+        cmatch = col_ent.join(bcast(cta_c), ["table_id", "col_idx"])
+        # candidate's own 3-level types (entity-bounded side frames —
+        # size-gated broadcasts; large posture: AQE decides)
         own = inp.types.select(
             F.col("entity"), F.col("type").alias("cta_type"),
             F.col("level").alias("own_level"),
         )
-        direct = cmatch.join(own, ["entity", "cta_type"], "left")
+        direct = cmatch.join(bcast(own), ["entity", "cta_type"], "left")
         # neighbor credit: cta_type neighbors ∩ candidate level-1/2 types
+        ce_key = ["table_id", "col_idx", "entity"]
         tn = ctx.type_neighbors(
             cta_c.select(F.col("cta_type").alias("type")), inp.edges
         ).select(F.col("type").alias("cta_type"), "neighbor")
         nb = (
-            cmatch.join(tn, "cta_type")
+            cmatch.join(bcast(tn), "cta_type")
             .join(
-                inp.types.where(F.col("level").isin(1, 2)).select(
+                bcast(inp.types.where(F.col("level").isin(1, 2)).select(
                     "entity", F.col("type").alias("neighbor"),
                     F.col("level").alias("nb_level"),
-                ),
+                )),
                 ["entity", "neighbor"],
             )
-            .groupBy(*cand_key, "cta_type")
+            .groupBy(*ce_key, "cta_type")
             .agg(F.min("nb_level").alias("nb_level"))
         )
-        j = direct.join(nb, cand_key + ["cta_type"], "left")
+        j = direct.join(nb, ce_key + ["cta_type"], "left")
         eff_level = (
             F.when(F.col("own_level") == 1, 1)
             .when((F.col("own_level") == 2) | (F.col("nb_level") == 1), 2)
@@ -505,14 +579,14 @@ def cea_task(
             .when(eff_level == 3, CTA_LEVEL_W[3])
             .otherwise(F.lit(None))
         )
-        disamb = j.withColumn("d", lvl_w * F.col("cta_score")).groupBy(*cand_key).agg(
+        disamb = j.withColumn("d", lvl_w * F.col("cta_score")).groupBy(*ce_key).agg(
             F.coalesce(F.max("d"), F.lit(0.0)).alias("cta_d")
         )
         cov_mean = cta_c.groupBy("table_id", "col_idx").agg(
             F.avg("cta_cov").alias("cov_mean")
         )
         s = (
-            s.join(disamb, cand_key, "left")
+            s.join(bcast(disamb), ce_key, "left")
             .join(bcast(cov_mean), ["table_id", "col_idx"], "left")
             .fillna({"cta_d": 0.0})
         )
@@ -569,13 +643,22 @@ def cpa_task(
     cea: DataFrame,
     only_one: bool,
     unrelated_pairs: DataFrame | None = None,
+    sim_scores: bool = False,
 ) -> DataFrame:
     """C13 voting (annotation_models.py:1033-1131). Returns kept CPAs:
-    (table_id,head_col,tail_col,rel,score,coverage,prox,rank)."""
+    (table_id,head_col,tail_col,rel,score,coverage,prox,rank).
+
+    ``sim_scores``: pass-1 mode. Pass-1 confidences are a pure function of
+    sim (0.1·sim; sim on single-column tables) and the materialized row_pairs
+    frame already carries both sides' sims for every co-occurring candidate
+    pair, so the entity votes come straight off it — no re-run of the
+    full-candidate-set self-join. Only valid with no unrelated_pairs (pass 1
+    has none); ``cea`` still feeds the literal-vote head side."""
     pairs = inp.ecol_pairs.withColumn("tail_kind", F.lit("entity")).unionByName(
         inp.el_pairs.withColumn("tail_kind", F.lit("literal"))
     )
     if unrelated_pairs is not None:
+        assert not sim_scores, "sim_scores is a pass-1 mode (no unrelated set)"
         pairs = pairs.join(
             bcast(unrelated_pairs), ["table_id", "head_col", "tail_col"],
             "left_anti",
@@ -585,23 +668,32 @@ def cpa_task(
         "table_id", "row_idx", F.col("col_idx").alias("head_col"),
         F.col("entity").alias("head_ent"), F.col("score").alias("head_conf"),
     )
-    tail_e = cea.select(
-        "table_id", "row_idx", F.col("col_idx").alias("tail_col"),
-        F.col("entity").alias("tail_ent"), F.col("score").alias("tail_conf"),
-    )
 
     # entity-tail votes
-    je = (
-        head.join(
-            bcast(pairs.where(F.col("tail_kind") == "entity")),
-            ["table_id", "head_col"],
+    if sim_scores:
+        # greatest(f(hs), f(ts)) = f(greatest(hs, ts)) — f monotone per table
+        conf = lambda c: F.when(F.col("n_cols") > 1, 0.1 * c).otherwise(c)  # noqa: E731
+        je = inp.row_pairs.join(bcast(inp.tbl), "table_id").join(
+            bcast(inp.cached_rel), ["head_ent", "tail_ent"]
         )
-        .join(tail_e, ["table_id", "row_idx", "tail_col"])
-        .join(inp.cached_rel, ["head_ent", "tail_ent"])
-    )
+        pair_score = F.col("prox") * conf(F.greatest("head_sim", "tail_sim"))
+    else:
+        tail_e = cea.select(
+            "table_id", "row_idx", F.col("col_idx").alias("tail_col"),
+            F.col("entity").alias("tail_ent"), F.col("score").alias("tail_conf"),
+        )
+        je = (
+            head.join(
+                bcast(pairs.where(F.col("tail_kind") == "entity")),
+                ["table_id", "head_col"],
+            )
+            .join(tail_e, ["table_id", "row_idx", "tail_col"])
+            .join(bcast(inp.cached_rel), ["head_ent", "tail_ent"])
+        )
+        pair_score = F.col("prox") * F.greatest("head_conf", "tail_conf")
     ve = je.select(
         "table_id", "head_col", "tail_col", "row_idx", "rel", "prox",
-        (F.col("prox") * F.greatest("head_conf", "tail_conf")).alias("pair_score"),
+        pair_score.alias("pair_score"),
     )
 
     # literal-tail votes: tail "candidate" = raw mention with conf 0,
@@ -612,10 +704,10 @@ def cpa_task(
             ["table_id", "head_col"],
         )
         .join(
-            inp.lit_cpa.select(
+            bcast(inp.lit_cpa.select(
                 F.col("entity").alias("head_ent"), "lit_cell",
                 F.col("pid").alias("rel"),
-            ),
+            )),
             "head_ent",
         )
         .join(
@@ -678,9 +770,11 @@ def cta_task(inp: AnnotInputs, cea: DataFrame, only_one: bool) -> DataFrame:
     types = inp.types.select(
         "entity", "type", "level", F.col("rank").alias("type_rank")
     )
+    # types is entity-bounded — broadcast under the small posture so the
+    # row-scale CEA side (all candidates in pass 2) doesn't shuffle
     j = cea.select(
         "table_id", "row_idx", "col_idx", "entity", "score"
-    ).join(types, "entity")
+    ).join(bcast(types), "entity")
     lvl_w = (
         F.when(F.col("level") == 1, CTA_LEVEL_W[1])
         .when(F.col("level") == 2, CTA_LEVEL_W[2])
@@ -791,6 +885,16 @@ def _mat(df: DataFrame) -> DataFrame:
     from ..session import ckpt
 
     return ckpt(df, eager=False)
+
+
+def _force_wave(name: str, frames: list, timings: dict | None) -> None:
+    """force_parallel + per-wave timing (build_inputs instrumentation)."""
+    import time as _t
+
+    t0 = _t.time()
+    force_parallel(*frames)
+    if timings is not None:
+        timings[f"bi_{name}"] = round(_t.time() - t0, 2)
 
 
 def force_parallel(*dfs: DataFrame | None) -> None:
@@ -949,25 +1053,34 @@ def annotate(
     timings = timings if timings is not None else {}
 
     t0 = _t.time()
-    inp = build_inputs(cand, body, col_classes, edges, degrees, multihop)
+    inp = build_inputs(
+        cand, body, col_classes, edges, degrees, multihop, timings=timings
+    )
     timings["build_inputs"] = round(_t.time() - t0, 2)
 
-    # pass 1
+    # pass 1.
+    # CEA¹ with only_one=False and no CTA is the IDENTITY on the candidate
+    # set plus a per-cell rank that CPA voting never reads
+    # (annotation_models.py:904-1031 vs :1033-1131 — the vote joins only on
+    # (cell, entity, score)), so the scores frame feeds CPA¹ directly and
+    # the full-candidate-set sort window is skipped.
     t0 = _t.time()
     s1 = entity_scores_pass1(inp)
-    cea1 = cea_task(inp, s1, cta=None, only_one=False)
-    cpa1 = _mat(cpa_task(inp, cea1, only_one=False))
+    cpa1 = _mat(cpa_task(inp, s1, only_one=False, sim_scores=True))
     force_parallel(cpa1)
     timings["pass1"] = round(_t.time() - t0, 2)
 
-    # pass 2: soft re-weighting
+    # pass 2: soft re-weighting. Same identity: CEA² (only_one=False, no
+    # CTA) adds only an unread rank, so CTA² votes straight over s2.
+    # ``we`` is shared by pass 2 (s2) and pass 4 (the scored frame) — the
+    # lazy checkpoint materializes inside s2's wave and pass 4 reuses the
+    # blocks instead of re-deriving the ctx_entries ⋈ top-CPA join.
     t0 = _t.time()
-    we = update_context_weights(inp, cpa1)
+    we = _mat(update_context_weights(inp, cpa1))
     s2, _, _, _ = entity_scores_soft(inp, we, cpa1)
     s2 = _mat(s2)
-    cea2 = cea_task(inp, s2, cta=None, only_one=False)
-    cta2 = _mat(cta_task(inp, cea2, only_one=False))
-    force_waves([s2], [cta2])  # cta2 reads cea2 ← s2
+    cta2 = _mat(cta_task(inp, s2, only_one=False))
+    force_waves([s2], [cta2])  # cta2 reads s2
     timings["pass2"] = round(_t.time() - t0, 2)
 
     # pass 3: disambiguation
@@ -998,13 +1111,19 @@ def annotate(
     # so s3/ctxless/potential become mutually independent consumers of a
     # materialized ancestor — one parallel wave instead of three sequential
     # recomputes of the scored subtree
-    force_waves([unrelated], [scored], [s3, ctxless, potential])
+    force_waves([unrelated], [scored])
+    timings["pass4_scored"] = round(_t.time() - t0, 2)
+    t1 = _t.time()
+    force_waves([s3, ctxless, potential])
+    timings["pass4_s3wave"] = round(_t.time() - t1, 2)
+    t1 = _t.time()
     cea4 = _mat(
         cea_task(
             inp, s3, cta=cta3, only_one=True, contextless=ctxless, potential=potential
         )
     )
     force_parallel(cea4)
+    timings["pass4_cea4"] = round(_t.time() - t1, 2)
     cta4 = _mat(cta_task(inp, cea4, only_one=True))
     cpa4 = _mat(cpa_task(inp, cea4, only_one=True, unrelated_pairs=unrelated))
     timings["pass4"] = round(_t.time() - t0, 2)

@@ -145,10 +145,25 @@ def pair_relations(
     degrees: DataFrame,
     multihop: bool = True,
 ) -> DataFrame:
-    """All relations per co-occurring candidate pair: direct pairs use ONLY
-    their direct relations (the reference's elif at annotation_models.py:489);
-    2-hop applies only to pairs with no direct edge."""
-    pairs = cooccurring_pairs(cand, ecol_pairs)
+    """All relations per co-occurring candidate pair — see
+    ``pair_relations_for_pairs`` (this wrapper derives the pair set itself;
+    build_inputs passes a pair set projected off its materialized row-level
+    pair frame instead, so the row self-join runs once, not twice)."""
+    return pair_relations_for_pairs(
+        cooccurring_pairs(cand, ecol_pairs), edges, degrees, multihop
+    )
+
+
+def pair_relations_for_pairs(
+    pairs: DataFrame,
+    edges: DataFrame,
+    degrees: DataFrame,
+    multihop: bool = True,
+) -> DataFrame:
+    """All relations per DISTINCT (head_ent, tail_ent) pair: direct pairs use
+    ONLY their direct relations (the reference's elif at
+    annotation_models.py:489); 2-hop applies only to pairs with no direct
+    edge."""
     direct = direct_relations(pairs, edges)
     if not multihop:
         return direct
@@ -229,18 +244,17 @@ def unit_symbols(edges: DataFrame) -> DataFrame:
     )
 
 
-def literal_matches(
+def literal_match_join(
     cand: DataFrame,
     body: DataFrame,
     col_classes: DataFrame,
     edges: DataFrame,
 ) -> DataFrame:
-    """C7: per (table, row, entity_col, literal_col, entity): matched pids and
-    scores. Literal cols LEFT of the entity column are skipped
-    (annotation_models.py:579-580).
-
-    Returns (table_id, row_idx, col_idx, entity, lit_col, lit_class, pid,
-    match_score, lit_cell)."""
+    """The C7 row-scale domain: candidate × its literal edges × the row's
+    literal cells (lit_col ≥ col). Returns the UNSCORED join — callers run
+    the match kernel over its distinct value tuples (literal_match_keys) and
+    join the scores back (literal_matches_from), so the Python kernel cost is
+    bounded by distinct values, not rows."""
     # alias-isolate: col_classes shares lineage with body (classify_columns
     # aggregates body), so rename join keys to fresh attributes before the
     # equi-join to avoid Catalyst conflicting-attribute errors
@@ -277,20 +291,66 @@ def literal_matches(
         bcast(usym), "unit_qid", "left"
     )
 
-    j = (
+    return (
         cand_e.join(cand_edges, "entity")
         .join(lit_cells, ["table_id", "row_idx"])
         .where(F.col("lit_col") >= F.col("col_idx"))
     )
+
+
+LIT_KEY_COLS = ["obj", "obj_type", "lit_cell", "lit_class", "unit_symbol"]
+
+
+def literal_match_keys(j: DataFrame) -> DataFrame:
+    """Distinct value tuples of the C7 domain, scored by the match kernel,
+    POSITIVE matches only (dedupe-compute-rejoin — the P7/P8 pattern applied
+    to C7: the match score is a pure function of the value tuple, not of
+    which (table, row) it occurs in, so the Python kernel runs once per
+    distinct tuple; every repeat across rows/replicated tables costs a
+    broadcast-hash lookup instead of a kernel call)."""
     match = _literal_match_udf()
-    scored = j.withColumn(
-        "match_score",
-        match("obj", "obj_type", "lit_cell", "lit_class", "unit_symbol"),
+    return (
+        j.select(*LIT_KEY_COLS)
+        .distinct()
+        .withColumn(
+            "match_score",
+            match("obj", "obj_type", "lit_cell", "lit_class", "unit_symbol"),
+        )
+        .where(F.col("match_score") > 0.0)
     )
-    return scored.where(F.col("match_score") > 0.0).select(
+
+
+def literal_matches_from(j: DataFrame, matched_keys: DataFrame) -> DataFrame:
+    """Join the scored distinct tuples back onto the row-scale domain.
+    eqNullSafe keys because unit_symbol is nullable; the broadcast side holds
+    only positive matches, so it stays tiny."""
+    mk = bcast(
+        matched_keys.withColumnsRenamed({c: f"_k_{c}" for c in LIT_KEY_COLS})
+    )
+    cond = None
+    for c in LIT_KEY_COLS:
+        eq = j[c].eqNullSafe(mk[f"_k_{c}"])
+        cond = eq if cond is None else (cond & eq)
+    return j.join(mk, cond).select(
         "table_id", "row_idx", "col_idx", "entity", "lit_col", "lit_class",
         "pid", "match_score", "lit_cell",
     )
+
+
+def literal_matches(
+    cand: DataFrame,
+    body: DataFrame,
+    col_classes: DataFrame,
+    edges: DataFrame,
+) -> DataFrame:
+    """C7 one-shot composition (tests / non-wave callers): per (table, row,
+    entity_col, literal_col, entity) matched pids and scores. Literal cols
+    LEFT of the entity column are skipped (annotation_models.py:579-580).
+
+    Returns (table_id, row_idx, col_idx, entity, lit_col, lit_class, pid,
+    match_score, lit_cell)."""
+    j = literal_match_join(cand, body, col_classes, edges)
+    return literal_matches_from(j, literal_match_keys(j))
 
 
 # ------------------------------------------------------------------ types

@@ -380,16 +380,15 @@ def lookup(
     )
     cand = score_candidates(pairs, idf, k=k).transform(_sckpt)
 
-    # head surface forms ("USA") appear in millions of cells but have ≤K
-    # candidates — the classic hot probe key. Salt it explicitly.
-    per_cell = salted_join(mentions, cand, ["mention_norm"], how="left")
-
     # coverage per entity column: fraction of the column's data ROWS whose
     # cell has ≥1 candidate — the reference computes col_coverage per row over
     # ALL rows of the column, including short/empty cells that never reached
     # lookup (annotation_models.py:262-277), so a column dominated by one hot
     # covered mention stays entity-classed even when its distinct-mention
-    # coverage would be low.
+    # coverage would be low. Whether a cell is covered depends only on its
+    # DISTINCT normalized mention, so coverage is computed from the tiny
+    # covered-mention set (broadcast semi join) — the cells × candidates
+    # expansion below runs only for the columns that survive the gate.
     ent = col_classes.where(F.col("col_class") == "entity").select(
         "table_id", "col_idx"
     )
@@ -398,8 +397,9 @@ def lookup(
         .groupBy("table_id", "col_idx")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+    covered = cand.select("mention_norm").distinct()
     cov_rows = (
-        per_cell.where(F.col("entity").isNotNull())
+        mentions.join(bcast(covered), "mention_norm", "left_semi")
         .select("table_id", "col_idx", "row_idx")
         .distinct()
         .groupBy("table_id", "col_idx")
@@ -416,12 +416,14 @@ def lookup(
     kept = cov.where(F.col("coverage") >= min_coverage).select(
         "table_id", "col_idx", "coverage"
     )
-    candidates = (
-        per_cell.join(kept.select("table_id", "col_idx"), ["table_id", "col_idx"])
-        .where(F.col("entity").isNotNull())
-        .select(
-            "table_id", "row_idx", "col_idx", "cell", "mention_norm", "entity",
-            "best_label", "score",
-        )
+
+    # head surface forms ("USA") appear in millions of cells but have ≤K
+    # candidates — the classic hot probe key. Salt it explicitly.
+    kept_mentions = mentions.join(
+        bcast(kept.select("table_id", "col_idx")), ["table_id", "col_idx"]
+    )
+    candidates = salted_join(kept_mentions, cand, ["mention_norm"]).select(
+        "table_id", "row_idx", "col_idx", "cell", "mention_norm", "entity",
+        "best_label", "score",
     )
     return candidates, kept
