@@ -16,6 +16,7 @@ import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import lookup as lk
 from ..operators.annotation import AnnotationResult, annotate
@@ -103,10 +104,36 @@ class PipelineRun:
             self.metrics["prep_sec"] = round(time.time() - t0, 3)
         manifest = extract_manifest(src)
 
+        # dictionary-encode table_id: the natural key is a ~70-byte string
+        # (repo␟path␟commit) that rides on EVERY row of every shuffle and
+        # checkpoint through lookup + all four annotation passes — on a
+        # memory-path-bound host that is gigabytes of pure key traffic at
+        # replicate scale. Encode it to a dense int at the prep boundary
+        # (deterministic: rank in table_id order, so resumed runs rebuild
+        # the identical map) and decode only on the final triples. The
+        # single-task ordering window is bounded by #tables (not rows);
+        # at true 100 TB table counts the map itself stays a few MB.
+        from pyspark.sql import Window
+
+        from ..operators.annotation import _localize
+
+        tid_map = _localize(
+            prep.select("table_id")
+            .distinct()
+            .withColumn(
+                "tid", F.row_number().over(Window.orderBy("table_id"))
+            )
+        )
+        prep_i = (
+            prep.join(F.broadcast(tid_map), "table_id")
+            .drop("table_id")
+            .withColumnRenamed("tid", "table_id")
+        )
+
         # pre-partition by table_id once: the annotation passes cluster every
         # join/groupBy/window on (table_id, ...) and reuse this partitioning
-        body = body_cells(prep).repartition("table_id").transform(_sckpt)
-        cols = column_meta(prep)
+        body = body_cells(prep_i).repartition("table_id").transform(_sckpt)
+        cols = column_meta(prep_i)
         classes = lk.classify_columns(cols, body).transform(_sckpt)
 
         if self._is_done("candidates"):
@@ -156,6 +183,13 @@ class PipelineRun:
         )
         triples_canon = with_uris(
             canonicalize(triples, cea_mentions, checkpoint=self._cc_checkpoint())
+        )
+        # decode the dict-encoded table id back to the natural string key on
+        # the public output (internal frames stay int-keyed)
+        triples_canon = (
+            triples_canon.withColumnRenamed("table_id", "tid")
+            .join(F.broadcast(tid_map), "tid")
+            .drop("tid")
         )
         triples_canon = self._checkpoint("triples", triples_canon)
         # the CC per-iteration parquet checkpoints are only alive while the
