@@ -30,6 +30,7 @@ HEADLINE = [
     "rel_pricing_agg", "rel_star_join", "rel_topk_window",
     "rel_twohop_selfjoin", "rel_band_selfjoin", "rel_events_window",
     "text_token_count", "text_quality_score", "text_lang_id",
+    "text_repetition_filter", "text_pii_redact",
     "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_lsh_verified",
     "dedup_simhash", "sim_ann_bruteforce", "sim_ann_lsh",
     "kg_lookup_fuzzy", "kg_typing_ner", "multimodal_features",

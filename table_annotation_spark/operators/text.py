@@ -243,3 +243,154 @@ SELECT lang, rk, bigram, freq FROM rk WHERE rk <= 5 ORDER BY lang, rk
 
 ORACLES["text_ngram_topk"] = NGRAM_TOPK_SQL
 QUERIES["text_ngram_topk"] = ngram_topk
+
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition quality filter (the Gopher/MassiveText
+    repetition-removal family): per doc, distinct-token fraction and
+    most-frequent-bigram fraction, with integer-only sub-scores so the gate
+    arithmetic is exact across engines. A doc passes when distinct tokens
+    are >= half its tokens AND its top bigram is <= 1/20 of all bigrams.
+
+    Scale shape: the per-bigram counts go through explode -> map-side-
+    combinable groupBy((doc_id, bigram)) -> max per doc_id — no per-doc
+    quadratic array work, so arbitrarily long documents stay linear."""
+    d = _docs(spark, sf_dir)
+    toks = _tok_expr()
+    empty = F.trim("text") == ""
+    n_tokens = F.when(empty, F.lit(0)).otherwise(F.size(toks))
+    n_distinct = F.when(empty, F.lit(0)).otherwise(F.size(F.array_distinct(toks)))
+    base = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct_tokens"),
+        F.greatest(n_tokens - 1, F.lit(0)).cast("bigint").alias("n_bigrams"),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    top = (
+        d.where(F.size(toks) >= 2)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").cast("bigint").alias("top_bigram_freq"))
+    )
+    out = base.join(top, "doc_id", "left").withColumn(
+        "top_bigram_freq", F.coalesce("top_bigram_freq", F.lit(0)).cast("bigint")
+    )
+    passes = (F.col("n_distinct_tokens") * 2 >= F.col("n_tokens")) & (
+        (F.col("n_bigrams") == 0)
+        | (F.col("top_bigram_freq") * 20 <= F.col("n_bigrams"))
+    )
+    return out.withColumn("passes_repetition", passes).orderBy("doc_id")
+
+
+REPETITION_FILTER_SQL = """
+WITH toks AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens,
+         len(list_distinct(t))::BIGINT AS n_distinct_tokens,
+         greatest(len(t) - 1, 0)::BIGINT AS n_bigrams
+  FROM toks
+), bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks
+        WHERE len(t) >= 2)
+), top AS (
+  SELECT doc_id, max(cnt)::BIGINT AS top_bigram_freq
+  FROM (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2)
+  GROUP BY 1
+), j AS (
+  SELECT b.doc_id, n_tokens, n_distinct_tokens, n_bigrams,
+         coalesce(top_bigram_freq, 0)::BIGINT AS top_bigram_freq
+  FROM base b LEFT JOIN top USING (doc_id)
+)
+SELECT *,
+       (n_distinct_tokens * 2 >= n_tokens
+        AND (n_bigrams = 0 OR top_bigram_freq * 20 <= n_bigrams))
+         AS passes_repetition
+FROM j ORDER BY doc_id
+"""
+
+ORACLES["text_repetition_filter"] = REPETITION_FILTER_SQL
+QUERIES["text_repetition_filter"] = repetition_filter
+
+
+# PII patterns shared by both engines (Java regex and RE2 agree on this
+# subset: literal classes, \b, bounded repetition). Redaction order is part
+# of the operator contract: email -> ipv4 -> phone.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d -]{7,}\d"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: count and redact emails, IPv4
+    addresses and phone-shaped numbers. The synthetic corpus carries no PII,
+    so every doc with doc_id % 3 == 0 is first augmented with a deterministic
+    contact line derived from doc_id (same formula in the DuckDB oracle) —
+    the redaction path is then hash-gated on real matches, not on zeros.
+    Output: per-doc match counts + md5 of the redacted text."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    contact = F.concat(
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@example.com at 10.0."), (did % 256).cast("string"),
+        F.lit(".7 or +1 555 01"), (did % 100).cast("string"),
+    )
+    aug = F.concat(F.col("text"),
+                   F.when(did % 3 == 0, contact).otherwise(F.lit("")))
+    n_emails = F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL), F.lit(0)))
+    n_ipv4 = F.size(F.regexp_extract_all(aug, F.lit(PII_IPV4), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(aug, F.lit(PII_PHONE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        did.cast("bigint").alias("doc_id"),
+        n_emails.cast("bigint").alias("n_emails"),
+        n_ipv4.cast("bigint").alias("n_ipv4"),
+        n_phones.cast("bigint").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+PII_REDACT_SQL = """
+WITH aug AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN ' contact user' || doc_id::VARCHAR
+                           || '@example.com at 10.0.'
+                           || (doc_id % 256)::VARCHAR
+                           || '.7 or +1 555 01' || (doc_id % 100)::VARCHAR
+                      ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+         AS n_emails,
+       len(regexp_extract_all(t,
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(t, '\\+?\\d[\\d -]{7,}\\d'))::BIGINT AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+           '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g')) AS redacted_md5
+FROM aug ORDER BY doc_id
+"""
+
+ORACLES["text_pii_redact"] = PII_REDACT_SQL
+QUERIES["text_pii_redact"] = pii_redact
