@@ -66,6 +66,23 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     n_triples = _count(triples_df)
     timings["flagship_pipeline"] = round(time.time() - t0, 3)
 
+    # Release the flagship's localCheckpoint blocks before the independent
+    # op queries: serialized checkpoint blocks are UNEVICTABLE while
+    # referenced, and r4's bigger flagship (literal path + birthdate input)
+    # left enough resident state to slow every memory-hungry query that
+    # followed it 2.5-3x (measured: kg_lookup_fuzzy 23.5 s clean vs 59.7 s
+    # after-flagship in the same session). Dropping the last reference and
+    # forcing a driver GC lets ContextCleaner unpersist them.
+    del triples_df
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    time.sleep(3)  # ContextCleaner drains its weak-ref queue async
+
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.time()
@@ -119,7 +136,7 @@ def main() -> None:
     # iteration), in which case only a pointer to the methodology doc is
     # emitted — never stale constants.
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        out.update(scaling_report(sf_dir))
+        out.update(scaling_report(sf_dir, suite_triples=res["triples"]))
     else:
         out["scaling_evidence"] = {
             "source": "skipped this invocation (SPARK_GRAFT_SCALING=0); "
@@ -279,7 +296,11 @@ def _one_leg(master: str, app: str, sf_dir: str, replicate: int,
 
 
 def scaling_report(
-    sf_dir: str, execs_lo: int = 1, execs_hi: int = 4, replicate: int | None = None
+    sf_dir: str,
+    execs_lo: int = 1,
+    execs_hi: int = 4,
+    replicate: int | None = None,
+    suite_triples: int | None = None,
 ) -> dict:
     """Same flagship job at two CLUSTER SIZES, drift-proofed, + a raw-CPU
     ceiling calibration + the data-plane kernel scaling measurement + one
@@ -308,17 +329,27 @@ def scaling_report(
     identical input for both legs) so per-stage compute dominates the fixed
     driver costs that floor any comparison at the default bench size.
 
-    The AQE leg (SPARK_GRAFT_AQE_LEG=0 to skip) runs replicate=8 —
-    1.32M estimated input rows, naturally crossing the ≥1M threshold of
-    ``tune_for_input_size`` — so the large-corpus posture (AQE on, forced
-    broadcast hints off, runtime join strategies) executes END-TO-END, and
-    its triple count is verified against the rep4 legs from the same run
-    (replicate linearity: rep8 = 2 × rep4; content is pinned separately by
-    the closed-form oracle in tests/test_aqe_large.py)."""
+    Large-corpus (AQE) posture evidence (SPARK_GRAFT_AQE_LEG=0 to skip):
+    at the default replicate=8 the legs themselves cross the ≥1M-row
+    threshold of ``tune_for_input_size``, so every leg runs the large
+    posture (AQE on, forced broadcast hints off, runtime join strategies)
+    END-TO-END and the artifact records the engaged config + linearity vs
+    the suite's rep1 triple count. If the legs are run below the threshold
+    (SPARK_GRAFT_SCALE_REP<8), one extra 2×replicate leg is added instead.
+    Content under the posture is pinned separately by the closed-form
+    oracle in tests/test_aqe_large.py."""
     import statistics
 
     repo_root = os.path.dirname(os.path.abspath(__file__))
-    replicate = replicate or int(os.environ.get("SPARK_GRAFT_SCALE_REP", "4"))
+    # Default replicate=8 (r4): the r3/r4 perf work cut the flagship 2.4x,
+    # and at replicate=4 the per-stage compute no longer dominates the
+    # parallelism-invariant driver floor (~90 s of pass/plan/job latency) —
+    # measured legs collapsed to 1.015x speedup while the SAME job at
+    # replicate=8 scales 667 s -> 276 s = 2.42x (0.92 of the same-day
+    # machine ceiling). Scaling evidence needs compute-dominated legs;
+    # replicate=8 also naturally crosses the >=1M-row threshold, so the legs
+    # themselves exercise the large-corpus AQE posture end-to-end.
+    replicate = replicate or int(os.environ.get("SPARK_GRAFT_SCALE_REP", "8"))
     reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2")))
     # NB: local-cluster's third arg is the WORKER's memory budget; the
     # executor still launches with spark.executor.memory (default 1g!) and
@@ -341,11 +372,13 @@ def scaling_report(
                         sf_dir, replicate)
 
     times: dict[int, list[float]] = {execs_lo: [], execs_hi: []}
+    confs: dict[int, dict] = {}
     triples_rep = None
     for _ in range(reps):
         for execs in (execs_lo, execs_hi):
             r = leg(execs)
             times[execs].append(r["sec"])
+            confs[execs] = r["conf"]
             triples_rep = r["triples"]
 
     n_lo, n_hi = execs_lo * exec_cores, execs_hi * exec_cores
@@ -385,21 +418,39 @@ def scaling_report(
     }
 
     if not use_lc and os.environ.get("SPARK_GRAFT_AQE_LEG", "1") != "0":
-        aqe_rep = 2 * replicate  # 8 by default → ≥1M estimated rows
-        r = _one_leg(f"local[{n_hi}]", f"scale-aqe-{aqe_rep}", sf_dir, aqe_rep)
-        expected = triples_rep * aqe_rep // replicate
-        out["aqe_rep8"] = {
-            "master": f"local[{n_hi}]",
-            "replicate": aqe_rep,
-            "flagship_sec": r["sec"],
-            "triples": r["triples"],
-            "triples_expected_from_rep4_linearity": expected,
-            "verified": r["triples"] == expected,
-            # ACTUAL posture the leg ran with (the large-corpus branch
-            # engages naturally when estimated rows cross 1M — replicate 8
-            # at sf0.1; a smoke run at tiny sf records the small posture)
-            "config_engaged": r["conf"],
-        }
+        if confs.get(execs_hi, {}).get("aqe") == "true":
+            # replicate >= 8 pushes the legs themselves over the >=1M-row
+            # threshold: every leg above ALREADY ran the large-corpus
+            # posture (AQE on, forced broadcast off) end-to-end — no extra
+            # leg needed. Linearity is verified against the suite's rep1
+            # triple count when available (full bench); content is pinned
+            # by the closed-form oracle in tests/test_aqe_large.py.
+            expected = suite_triples * replicate if suite_triples else None
+            out["aqe_large_posture"] = {
+                "mode": f"scaling legs ran at replicate={replicate} "
+                "(>=1M estimated rows) — AQE posture engaged in every leg",
+                "config_engaged": confs[execs_hi],
+                "triples": triples_rep,
+                "triples_expected_from_suite_linearity": expected,
+                "verified": (triples_rep == expected) if expected else None,
+                "content_gate": "tests/test_aqe_large.py (closed-form oracle)",
+            }
+        else:
+            aqe_rep = 2 * replicate  # cross the >=1M-row threshold
+            r = _one_leg(f"local[{n_hi}]", f"scale-aqe-{aqe_rep}", sf_dir,
+                         aqe_rep)
+            expected = triples_rep * aqe_rep // replicate
+            out["aqe_large_posture"] = {
+                "master": f"local[{n_hi}]",
+                "replicate": aqe_rep,
+                "flagship_sec": r["sec"],
+                "triples": r["triples"],
+                "triples_expected_from_leg_linearity": expected,
+                "verified": r["triples"] == expected,
+                # ACTUAL posture the leg ran with (the large-corpus branch
+                # engages naturally when estimated rows cross 1M)
+                "config_engaged": r["conf"],
+            }
     return out
 
 
