@@ -387,6 +387,14 @@ def scaling_report(
     med_lo = statistics.median(times[execs_lo])
     med_hi = statistics.median(times[execs_hi])
     speedup = round(med_lo / med_hi, 3)
+    # Host interference on this sandbox is ONE-SIDED (hypervisor neighbors /
+    # page-cache state only ever slow a leg down, never speed it up) and
+    # drifts on ~hour windows, so the min over interleaved replicates is the
+    # standard drift-floor estimator (cf. python timeit docs): the fastest
+    # observation of each leg is the closest to the job's uncontended cost.
+    # Both estimators are recorded; median is the conservative headline.
+    min_lo, min_hi = min(times[execs_lo]), min(times[execs_hi])
+    speedup_min = round(min_lo / min_hi, 3)
 
     def leg_stats(execs: int, med: float) -> dict:
         ts = times[execs]
@@ -411,9 +419,12 @@ def scaling_report(
         "scaling_replicate": replicate,
         "scaling_speedup": speedup,
         "scaling_efficiency": round(speedup / factor, 3),
+        "scaling_speedup_min_pair": speedup_min,
+        "scaling_efficiency_min_pair": round(speedup_min / factor, 3),
         "machine_cpu_ceiling_speedup": ceiling,
         "machine_cpu_ceiling_efficiency": round(ceiling / factor, 3),
         "ceiling_normalized_efficiency": round(speedup / ceiling, 3),
+        "ceiling_normalized_efficiency_min_pair": round(speedup_min / ceiling, 3),
         "kernel_scaling": _kernel_scaling(n_lo, n_hi, ceiling=ceiling),
     }
 
