@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "rel_pricing_agg", "rel_star_join", "rel_topk_window",
     "rel_twohop_selfjoin", "rel_band_selfjoin", "rel_events_window",
+    "rel_asof_join",
     "text_token_count", "text_quality_score", "text_lang_id",
     "text_repetition_filter", "text_pii_redact",
     "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_lsh_verified",
@@ -345,7 +346,7 @@ def scaling_report(
     # and at replicate=4 the per-stage compute no longer dominates the
     # parallelism-invariant driver floor (~90 s of pass/plan/job latency) —
     # measured legs collapsed to 1.015x speedup while the SAME job at
-    # replicate=8 scales 667 s -> 276 s = 2.42x (0.92 of the same-day
+    # replicate=8 restores ~1.55x median / 1.6-1.7x min-pair (~0.6 of the
     # machine ceiling). Scaling evidence needs compute-dominated legs;
     # replicate=8 also naturally crosses the >=1M-row threshold, so the legs
     # themselves exercise the large-corpus AQE posture end-to-end.

@@ -13,6 +13,10 @@ oracled by DuckDB:
 - rel_events_window    : event-time tumbling window agg (streaming shape in
                          batch; the streaming module runs the same plan via
                          readStream)
+- rel_asof_join        : nearest-earlier-event (as-of) join via the
+                         union-tag + running-last window pattern — the
+                         time-series attribution operator Spark lacks
+                         natively; oracled by DuckDB's native ASOF JOIN
 """
 
 from __future__ import annotations
@@ -228,6 +232,97 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 
+def _us(col: str):
+    """Epoch microseconds of a parquet timestamp: the testdata stores
+    TIMESTAMP_NTZ, which unix_micros rejects — cast via TIMESTAMP under the
+    session's pinned UTC zone (identical to DuckDB's epoch_us on naive)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks the most recent view event at
+    or before it by the same user — the nearest-earlier-event join Spark has
+    no native operator for (time-series feature attribution at training-data
+    scale). Implemented as the scalable union-tag pattern: tag both sides,
+    sort within user by (ts, side) — views before purchases on equal ts so
+    'at or before' is inclusive — and carry the last view forward with a
+    running ``last(ignorenulls)`` window. One shuffle on user_id, no range
+    self-join, linear in events per user; at 100 TB this partitions by the
+    key exactly like the DuckDB ASOF JOIN the oracle states. View-side
+    (user, ts) ties are deduped to the max event_id in BOTH engines so the
+    pick is deterministic."""
+    e = _t(spark, sf_dir, "events")
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("r_id"),
+            F.max_by("value", "event_id").alias("r_value"),
+        )
+    )
+    r = views.select(
+        "user_id", "ts", F.lit(0).alias("side"),
+        "r_id", _us("ts").alias("r_ts_us"), "r_value",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"),
+        F.lit(None).cast("bigint").alias("r_id"),
+        F.lit(None).cast("bigint").alias("r_ts_us"),
+        F.lit(None).cast("double").alias("r_value"),
+        "event_id", "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = (
+        r.unionByName(p)
+        .withColumn("view_id", F.last("r_id", ignorenulls=True).over(w))
+        .withColumn("view_ts_us", F.last("r_ts_us", ignorenulls=True).over(w))
+        .withColumn("view_value", F.last("r_value", ignorenulls=True).over(w))
+    )
+    return (
+        u.where(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            _us("ts").alias("purchase_ts_us"),
+            F.col("value").alias("purchase_value"),
+            F.col("view_id").cast("bigint").alias("view_id"),
+            F.col("view_ts_us").cast("bigint").alias("view_ts_us"),
+            "view_value",
+            (_us("ts") - F.col("view_ts_us"))
+            .cast("bigint")
+            .alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ASOF_SQL = """
+WITH v AS (
+  SELECT user_id, ts,
+         max(event_id) AS r_id,
+         arg_max(value, event_id) AS r_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), p AS (
+  SELECT * FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id::BIGINT AS purchase_id,
+       p.user_id::BIGINT AS user_id,
+       epoch_us(p.ts)::BIGINT AS purchase_ts_us,
+       p.value AS purchase_value,
+       v.r_id::BIGINT AS view_id,
+       epoch_us(v.ts)::BIGINT AS view_ts_us,
+       v.r_value AS view_value,
+       (epoch_us(p.ts) - epoch_us(v.ts))::BIGINT AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY purchase_id
+"""
+
 ORACLES = {
     "rel_pricing_agg": PRICING_AGG_SQL,
     "rel_star_join": STAR_JOIN_SQL,
@@ -236,6 +331,7 @@ ORACLES = {
     "rel_band_selfjoin": BAND_SQL,
     "rel_ordinal_runs": ORDINAL_SQL,
     "rel_events_window": EVENTS_WINDOW_SQL,
+    "rel_asof_join": ASOF_SQL,
 }
 
 QUERIES = {
@@ -246,4 +342,5 @@ QUERIES = {
     "rel_band_selfjoin": band_selfjoin,
     "rel_ordinal_runs": ordinal_runs,
     "rel_events_window": events_window,
+    "rel_asof_join": asof_join,
 }
