@@ -414,3 +414,90 @@ FROM p GROUP BY prefix HAVING count(*) > 1 ORDER BY prefix
 
 ORACLES["dedup_prefix"] = PREFIX_DEDUP_SQL
 QUERIES["dedup_prefix"] = prefix_dedup
+
+# ---------------------------------------------------------------------------
+# Duplicated-substring detection (character-shingle dedup)
+# ---------------------------------------------------------------------------
+
+SHINGLE_K = 40  # shingle (substring) length in characters
+SHINGLE_STRIDE = 10  # stride between shingle starts
+SHINGLE_HOT_DF = 50  # drop shingles shared by more docs (boilerplate cap)
+
+
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents sharing a duplicated 40-char substring (the training-data
+    substring-dedup shape of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): stride-10 character shingles, md5-hashed to a
+    fixed-width join key, df-capped to drop boilerplate, pairs counted by
+    number of shared shingles.
+
+    Scale posture: shingling is a JVM-side explode (rows × len/stride, no
+    Python); the pair join runs ONLY over shingles with document frequency
+    in [2, SHINGLE_HOT_DF], so per-key fanout is bounded — the standard
+    suffix-free approximation of substring dedup for a 100 TB corpus where
+    a true suffix array is impractical. Keys are 32-char md5, not raw
+    grams (fixed-width shuffle keys, RUNBOOK §5)."""
+    d = _docs(spark, sf_dir).where(F.length("text") >= SHINGLE_K)
+    sh = (
+        d.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("text"),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(
+                        (F.length("text") - F.lit(SHINGLE_K)) / F.lit(SHINGLE_STRIDE)
+                    ).cast("int"),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.expr(
+                    f"substring(text, CAST(i * {SHINGLE_STRIDE} + 1 AS INT),"
+                    f" {SHINGLE_K})"
+                )
+            ).alias("gram_h"),
+        )
+        .distinct()
+    )
+    hot = (
+        sh.groupBy("gram_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= SHINGLE_HOT_DF))
+        .select("gram_h")
+    )
+    a = sh.join(hot, "gram_h").alias("a")
+    b = sh.join(hot, "gram_h").alias("b")
+    return (
+        a.join(b, "gram_h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SUBSTRING_DEDUP_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id::BIGINT AS doc_id,
+         md5(substr(text, (i * {SHINGLE_STRIDE} + 1)::INT, {SHINGLE_K})) AS gram_h
+  FROM (SELECT doc_id, text,
+               unnest(range(0, (length(text) - {SHINGLE_K}) // {SHINGLE_STRIDE} + 1)) AS i
+        FROM documents WHERE length(text) >= {SHINGLE_K})
+), hot AS (
+  SELECT gram_h FROM sh GROUP BY gram_h
+  HAVING count(*) BETWEEN 2 AND {SHINGLE_HOT_DF}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared_grams
+FROM sh a JOIN hot USING (gram_h) JOIN sh b USING (gram_h)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+ORACLES["dedup_substring"] = SUBSTRING_DEDUP_SQL
+QUERIES["dedup_substring"] = substring_dedup

@@ -394,3 +394,114 @@ FROM aug ORDER BY doc_id
 
 ORACLES["text_pii_redact"] = PII_REDACT_SQL
 QUERIES["text_pii_redact"] = pii_redact
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (training-mixture construction)
+# ---------------------------------------------------------------------------
+
+# Per-language keep rates out of 256 (the first md5 byte of the doc id):
+# the mixture weights a training-corpus builder applies per source/language.
+MIXTURE_RATES_256 = {"en": 153, "fr": 102, "de": 102, "es": 102, "zh": 51}
+MIXTURE_DEFAULT_256 = 26
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling: keep a document iff the
+    first byte of md5(doc_id) falls under its language's mixture rate.
+    Hash-gated sampling (not rand()) is the standard reproducible way to
+    draw a training mixture — the same doc set is selected on every engine,
+    every run, every partitioning.
+
+    Scale posture: a single narrow projection + filter, no shuffle at all;
+    the md5 is computed from the decimal string of the id so any engine
+    agrees bit-for-bit."""
+    d = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("bigint")
+        .alias("bucket")
+    )
+    rate = F.lit(MIXTURE_DEFAULT_256)
+    for lang, r in MIXTURE_RATES_256.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        d.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("lang"),
+            bucket,
+            rate.cast("bigint").alias("rate_256"),
+        )
+        .where(F.col("bucket") < F.col("rate_256"))
+        .orderBy("doc_id")
+    )
+
+
+_RATE_CASES = "\n".join(
+    f"           WHEN lang = '{lang}' THEN {r}"
+    for lang, r in MIXTURE_RATES_256.items()
+)
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH s AS (
+  SELECT doc_id::BIGINT AS doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::BIGINT AS bucket,
+         (CASE
+{_RATE_CASES}
+           ELSE {MIXTURE_DEFAULT_256} END)::BIGINT AS rate_256
+  FROM documents
+)
+SELECT doc_id, lang, bucket, rate_256 FROM s
+WHERE bucket < rate_256 ORDER BY doc_id
+"""
+
+ORACLES["text_stratified_sample"] = STRATIFIED_SAMPLE_SQL
+QUERIES["text_stratified_sample"] = stratified_sample
+
+
+# ---------------------------------------------------------------------------
+# Token-length histogram (corpus profiling)
+# ---------------------------------------------------------------------------
+
+HIST_BIN_TOKENS = 16
+
+
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language histogram of document token counts in fixed-width bins
+    (the corpus length profile a pipeline uses to pick sequence-packing and
+    truncation budgets). Integer bin arithmetic only, so it is exact across
+    engines.
+
+    Scale posture: one map-side-combinable groupBy on (lang, bin) — the
+    canonical histogram shape."""
+    d = _docs(spark, sf_dir)
+    n_tokens = F.when(F.trim("text") == "", F.lit(0)).otherwise(F.size(_tok_expr()))
+    binned = d.select(
+        F.col("lang"),
+        (F.floor(n_tokens / F.lit(HIST_BIN_TOKENS)) * HIST_BIN_TOKENS)
+        .cast("bigint")
+        .alias("bin_lo"),
+    )
+    return (
+        binned.groupBy("lang", "bin_lo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("lang", "bin_lo")
+    )
+
+
+TOKEN_HISTOGRAM_SQL = f"""
+WITH t AS (
+  SELECT lang,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END)
+           AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       ((n_tokens // {HIST_BIN_TOKENS}) * {HIST_BIN_TOKENS})::BIGINT AS bin_lo,
+       count(*)::BIGINT AS n_docs
+FROM t GROUP BY lang, bin_lo ORDER BY lang, bin_lo
+"""
+
+ORACLES["text_token_hist"] = TOKEN_HISTOGRAM_SQL
+QUERIES["text_token_hist"] = token_histogram

@@ -114,3 +114,81 @@ class TestPiiRedact:
             | F.col("red").rlike(t.PII_PHONE)
         ).count()
         assert leftover == 0
+
+
+class TestStratifiedSample:
+    def test_oracle_hash_equal(self, spark, ducks):
+        rows, cols = _both(spark, ducks, "text_stratified_sample")
+        from table_annotation_spark.operators import text as t
+
+        i = {c: k for k, c in enumerate(cols)}
+        assert rows, "sample must be non-empty at fixture scale"
+        for r in rows:
+            rate = t.MIXTURE_RATES_256.get(r[i["lang"]], t.MIXTURE_DEFAULT_256)
+            assert r[i["rate_256"]] == rate
+            assert 0 <= r[i["bucket"]] < rate
+
+    def test_deterministic_membership(self, spark):
+        """Hash-gated sampling is content-addressed: the first md5 byte of
+        the decimal doc id decides membership, reproducible off-engine."""
+        import hashlib
+
+        from table_annotation_spark.operators import text as t
+
+        rows = t.stratified_sample(spark, SF_DIR).collect()
+        for r in rows[:50]:
+            b = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:2], 16)
+            assert b == r["bucket"]
+
+
+class TestTokenHistogram:
+    def test_oracle_hash_equal(self, spark, ducks):
+        rows, cols = _both(spark, ducks, "text_token_hist")
+        from table_annotation_spark.operators import text as t
+
+        i = {c: k for k, c in enumerate(cols)}
+        total = sum(r[i["n_docs"]] for r in rows)
+        n_src = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        assert total == n_src  # every doc lands in exactly one bin
+        for r in rows:
+            assert r[i["bin_lo"]] % t.HIST_BIN_TOKENS == 0
+
+
+class TestSubstringDedup:
+    def test_oracle_hash_equal(self, spark):
+        from pyspark.sql import functions as F
+
+        from table_annotation_spark.operators import dedup as dd
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+        )
+        sdf = dd.QUERIES["dedup_substring"](spark, SF_DIR)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        orows = con.execute(dd.ORACLES["dedup_substring"]).fetchall()
+        ocols = [d[0] for d in con.description]
+        con.close()
+        assert sorted(scols) == sorted(ocols)
+        assert len(srows) == len(orows)
+        assert _value_hash(srows, scols) == _value_hash(orows, ocols)
+        assert srows, "fixture corpus contains near-dups that share shingles"
+        i = {c: k for k, c in enumerate(scols)}
+        # each reported pair really shares a 40-char substring at a
+        # stride-10 offset (re-derive one pair off-engine)
+        doc_a, doc_b = srows[0][i["doc_a"]], srows[0][i["doc_b"]]
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .where(F.col("doc_id").isin([doc_a, doc_b]))
+            .collect()
+        }
+        k, s = dd.SHINGLE_K, dd.SHINGLE_STRIDE
+
+        def shingles(txt):
+            return {
+                txt[j : j + k] for j in range(0, max(len(txt) - k + 1, 0), s)
+            }
+
+        assert shingles(texts[doc_a]) & shingles(texts[doc_b])
