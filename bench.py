@@ -32,7 +32,8 @@ HEADLINE = [
     "rel_asof_join",
     "text_token_count", "text_quality_score", "text_lang_id",
     "text_repetition_filter", "text_pii_redact",
-    "text_stratified_sample", "text_token_hist",
+    "text_stratified_sample", "text_token_hist", "text_token_percentiles",
+    "sess_funnel",
     "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_lsh_verified",
     "dedup_simhash", "dedup_substring", "sim_ann_bruteforce", "sim_ann_lsh",
     "kg_lookup_fuzzy", "kg_typing_ner", "multimodal_features",

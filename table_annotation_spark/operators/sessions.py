@@ -130,3 +130,92 @@ QUERIES = {
     "sess_gap_sessions": sessionize,
     "dedup_cc_clusters": dedup_cc_clusters,
 }
+
+
+# ---------------------------------------------------------------------------
+# Ordered-funnel analysis (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel over the event stream: a user
+    reaches stage 2 only with a click AFTER their first view, stage 3 only
+    with a purchase AFTER that first qualifying click. Emits per-stage user
+    counts — the standard product-analytics funnel operator.
+
+    Scale posture: three groupBys all keyed on user_id (one exchange reused
+    under co-partitioning; AQE coalesces), integer epoch arithmetic only so
+    every engine agrees exactly. No windows over the full event set, no
+    per-user collect."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_type"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("epoch"),
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("epoch") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("epoch") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("t_purchase"))
+    )
+    rows = [
+        v.agg(
+            F.lit("1_view").alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        ),
+        c.agg(
+            F.lit("2_view_click").alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        ),
+        p.agg(
+            F.lit("3_view_click_purchase").alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("stage")
+
+
+FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id::BIGINT AS user_id, event_type,
+         epoch(ts::TIMESTAMP)::BIGINT AS epoch
+  FROM events
+), v AS (
+  SELECT user_id, min(epoch) AS t_view FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(epoch) AS t_click
+  FROM e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND epoch > t_view GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(epoch) AS t_purchase
+  FROM e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND epoch > t_click GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+  SELECT '1_view' AS stage, count(*)::BIGINT AS n_users FROM v
+  UNION ALL
+  SELECT '2_view_click', count(*)::BIGINT FROM c
+  UNION ALL
+  SELECT '3_view_click_purchase', count(*)::BIGINT FROM p
+) ORDER BY stage
+"""
+
+ORACLES["sess_funnel"] = FUNNEL_SQL
+QUERIES["sess_funnel"] = funnel

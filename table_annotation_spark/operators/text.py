@@ -505,3 +505,73 @@ FROM t GROUP BY lang, bin_lo ORDER BY lang, bin_lo
 
 ORACLES["text_token_hist"] = TOKEN_HISTOGRAM_SQL
 QUERIES["text_token_hist"] = token_histogram
+
+
+# ---------------------------------------------------------------------------
+# Exact rank-based percentiles (corpus length profiling)
+# ---------------------------------------------------------------------------
+
+PCT_TARGETS = (50, 90, 99)
+
+
+def token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile_disc(p) of document token counts per language,
+    computed by explicit rank arithmetic (row_number over a per-language
+    sort; the element at rank ceil(p*n/100)) so Spark and any SQL engine
+    agree bit-for-bit — no floating interpolation, no approx sketch.
+
+    Scale posture: one exchange on lang + an in-partition sort; the
+    conditional max over rank targets is map-side-combinable. For the
+    100 TB version where a global sort per group is too hot, swap in
+    approx_percentile with a documented error bound — this operator is the
+    exact-twin gate for it."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    n_tokens = F.when(F.trim("text") == "", F.lit(0)).otherwise(F.size(_tok_expr()))
+    t = d.select(F.col("lang"), n_tokens.cast("bigint").alias("n_tokens"))
+    w = Window.partitionBy("lang").orderBy("n_tokens")
+    ranked = t.select(
+        "lang",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"CAST((n * {p} + 99) DIV 100 AS BIGINT)"),
+                F.col("n_tokens"),
+            )
+        ).alias(f"p{p}_tokens")
+        for p in PCT_TARGETS
+    ]
+    return ranked.groupBy("lang").agg(*aggs).orderBy("lang")
+
+
+_PCT_COLS = ",\n".join(
+    f"       max(CASE WHEN rn = (n * {p} + 99) // 100 THEN n_tokens END)"
+    f" AS p{p}_tokens"
+    for p in PCT_TARGETS
+)
+
+TOKEN_PERCENTILES_SQL = f"""
+WITH t AS (
+  SELECT lang,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END)::BIGINT
+           AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT lang, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM t
+)
+SELECT lang,
+{_PCT_COLS}
+FROM ranked GROUP BY lang ORDER BY lang
+"""
+
+ORACLES["text_token_percentiles"] = TOKEN_PERCENTILES_SQL
+QUERIES["text_token_percentiles"] = token_percentiles

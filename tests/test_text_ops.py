@@ -192,3 +192,55 @@ class TestSubstringDedup:
             }
 
         assert shingles(texts[doc_a]) & shingles(texts[doc_b])
+
+
+class TestFunnel:
+    def test_oracle_hash_equal_and_monotone(self, spark):
+        from table_annotation_spark.operators import sessions as ss
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+        )
+        sdf = ss.QUERIES["sess_funnel"](spark, SF_DIR)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        orows = con.execute(ss.ORACLES["sess_funnel"]).fetchall()
+        ocols = [d[0] for d in con.description]
+        con.close()
+        assert sorted(scols) == sorted(ocols)
+        assert _value_hash(srows, scols) == _value_hash(orows, ocols)
+        counts = dict(srows)
+        # strict ordering makes the funnel monotone non-increasing
+        assert (
+            counts["1_view"]
+            >= counts["2_view_click"]
+            >= counts["3_view_click_purchase"]
+            > 0
+        )
+
+
+class TestTokenPercentiles:
+    def test_oracle_hash_equal_and_ordered(self, spark, ducks):
+        rows, cols = _both(spark, ducks, "text_token_percentiles")
+        i = {c: k for k, c in enumerate(cols)}
+        from table_annotation_spark.operators import text as t
+
+        corpus = {
+            (r["lang"], r["n_tokens"])
+            for r in t._docs(spark, SF_DIR)
+            .selectExpr(
+                "lang",
+                "CASE WHEN trim(text) = '' THEN 0 ELSE"
+                " size(split(lower(trim(text)), '\\\\s+')) END AS n_tokens",
+            )
+            .collect()
+        }
+        for r in rows:
+            p50, p90, p99 = (
+                r[i["p50_tokens"]], r[i["p90_tokens"]], r[i["p99_tokens"]],
+            )
+            assert p50 <= p90 <= p99
+            # percentile_disc returns ACTUAL corpus elements, not interpolations
+            for v in (p50, p90, p99):
+                assert (r[i["lang"]], v) in corpus
