@@ -344,3 +344,95 @@ QUERIES = {
     "rel_events_window": events_window,
     "rel_asof_join": asof_join,
 }
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP subtotal aggregation (hypertable-rollup shape)
+# ---------------------------------------------------------------------------
+
+
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals over (l_returnflag, l_linestatus) via ROLLUP:
+    leaf groups + per-flag subtotals + grand total in ONE pass — the rollup
+    shape a time-series/hypertable engine materializes continuously.
+
+    Scale posture: Spark expands rollup into a single hash aggregate over
+    the grouping-set id (one exchange, map-side partial aggregation); no
+    repeated scans per level. Money summed in integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("sum_price_cents"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT AS n_items,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+       sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_price_cents
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+ORACLES["rel_rollup_pricing"] = ROLLUP_PRICING_SQL
+QUERIES["rel_rollup_pricing"] = rollup_pricing
+
+
+# ---------------------------------------------------------------------------
+# PIVOT (long -> wide conditional aggregation)
+# ---------------------------------------------------------------------------
+
+PIVOT_STATUSES = ("F", "O", "P")
+
+
+def pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per priority pivoted on order status (long -> wide).
+    Spark's groupBy().pivot() with an EXPLICIT value list — never the
+    value-discovering form, which costs an extra distinct scan and makes
+    the output schema data-dependent (a breaking change waiting to happen
+    at 100 TB).
+
+    Scale posture: explicit-values pivot compiles to one hash aggregate
+    with N conditional counters — map-side combinable, one exchange."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(PIVOT_STATUSES))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(f"`{s}`"), F.lit(0))
+            .cast("bigint")
+            .alias(f"n_status_{s.lower()}")
+            for s in PIVOT_STATUSES
+        ],
+    ).orderBy("o_orderpriority")
+
+
+_PIVOT_COLS = ",\n".join(
+    f"       count(*) FILTER (o_orderstatus = '{s}')::BIGINT AS n_status_{s.lower()}"
+    for s in PIVOT_STATUSES
+)
+
+PIVOT_ORDERS_SQL = f"""
+SELECT o_orderpriority,
+{_PIVOT_COLS}
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ORACLES["rel_pivot_orders"] = PIVOT_ORDERS_SQL
+QUERIES["rel_pivot_orders"] = pivot_orders

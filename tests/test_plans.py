@@ -4,6 +4,8 @@ scans, broadcast joins for small dims, partial (map-side) aggregation, and
 no cartesian products in the blocking join.
 """
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -236,3 +238,53 @@ class TestWaveContract:
             assert inp.row_pairs is not None
         finally:
             spark.conf.set("spark.graft.forceMaterialize", old)
+
+
+class TestRollupPivotShapes:
+    def test_rollup_is_single_expand_aggregate(self, spark):
+        """ROLLUP must compile to ONE scan + Expand + hash aggregate, not a
+        union of per-level aggregations (which would re-scan lineitem 3x at
+        100 TB)."""
+        plan = plan_of(rel.rollup_pricing(spark, SF))
+        assert "Expand" in plan
+        # formatted mode prints each node in the tree AND the details
+        # section — count detail headers "(n) Scan parquet" for node count
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        # still map-side combinable: partial + final aggregate pair
+        assert plan.count("HashAggregate") >= 2
+
+    def test_rollup_levels_are_consistent(self, spark):
+        rows = rel.rollup_pricing(spark, SF).collect()
+        grand = [r for r in rows if r["l_returnflag"] is None
+                 and r["l_linestatus"] is None]
+        leaves = [r for r in rows if r["l_returnflag"] is not None
+                  and r["l_linestatus"] is not None]
+        subtotals = [r for r in rows if r["l_returnflag"] is not None
+                     and r["l_linestatus"] is None]
+        assert len(grand) == 1
+        assert grand[0]["n_items"] == sum(r["n_items"] for r in leaves)
+        assert grand[0]["sum_price_cents"] == sum(
+            r["sum_price_cents"] for r in leaves)
+        for s in subtotals:
+            flag_leaves = [r for r in leaves
+                           if r["l_returnflag"] == s["l_returnflag"]]
+            assert s["n_items"] == sum(r["n_items"] for r in flag_leaves)
+
+    def test_pivot_is_one_aggregate_no_extra_scan(self, spark):
+        """Explicit-values pivot: one scan, one partial+final aggregate,
+        and NO extra job to discover the pivot values."""
+        plan = plan_of(rel.pivot_orders(spark, SF))
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert plan.count("HashAggregate") >= 2
+
+    def test_pivot_row_sums_match_group_counts(self, spark):
+        rows = rel.pivot_orders(spark, SF).collect()
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        totals = {
+            r["o_orderpriority"]: r["n"]
+            for r in o.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).alias("n")).collect()
+        }
+        for r in rows:
+            assert (r["n_status_f"] + r["n_status_o"] + r["n_status_p"]
+                    == totals[r["o_orderpriority"]])
