@@ -209,14 +209,28 @@ class PipelineRun:
             ) as fh:
                 json.dump(self.metrics, fh, indent=2)
 
+        # every PUBLIC frame carries the natural string table_id: the dict
+        # encoding is an internal shuffle-width optimization, so decode at
+        # the API boundary (lazy broadcast join against the few-MB map —
+        # costs nothing unless the frame is actually collected). Internal
+        # variables (body/cand/result.*) stay int-keyed.
+        def _decode_tid(df: DataFrame) -> DataFrame:
+            if "table_id" not in df.columns:
+                return df
+            return (
+                df.withColumnRenamed("table_id", "tid")
+                .join(F.broadcast(tid_map), "tid")
+                .drop("tid")
+            )
+
         return {
             "manifest": manifest,
             "prep": prep,
-            "body": body,
-            "classes": classes,
-            "candidates": cand,
-            "cea": cea,
-            "cta": cta,
-            "cpa": cpa,
+            "body": _decode_tid(body),
+            "classes": _decode_tid(classes),
+            "candidates": _decode_tid(cand),
+            "cea": _decode_tid(cea),
+            "cta": _decode_tid(cta),
+            "cpa": _decode_tid(cpa),
             "triples": triples_canon,
         }
