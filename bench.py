@@ -29,10 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "rel_pricing_agg", "rel_star_join", "rel_topk_window",
     "rel_twohop_selfjoin", "rel_band_selfjoin", "rel_events_window",
-    "rel_asof_join",
+    "rel_asof_join", "rel_rollup_pricing", "rel_pivot_orders",
+    "rel_anti_join", "rel_semi_join", "rel_distinct_agg",
     "text_token_count", "text_quality_score", "text_lang_id",
     "text_repetition_filter", "text_pii_redact",
     "text_stratified_sample", "text_token_hist", "text_token_percentiles",
+    "text_decontaminate", "text_seq_pack",
     "sess_funnel",
     "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_lsh_verified",
     "dedup_simhash", "dedup_substring", "sim_ann_bruteforce", "sim_ann_lsh",

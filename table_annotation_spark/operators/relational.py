@@ -17,6 +17,14 @@ oracled by DuckDB:
                          union-tag + running-last window pattern — the
                          time-series attribution operator Spark lacks
                          natively; oracled by DuckDB's native ASOF JOIN
+- rel_rollup_pricing   : hierarchical subtotals (GROUP BY ROLLUP) as one
+                         Expand + hash agg — never per-level re-scans
+- rel_pivot_orders     : long→wide conditional agg with an EXPLICIT pivot
+                         value list (no schema-discovery distinct job)
+- rel_anti_join        : LEFT ANTI membership complement (NOT EXISTS)
+- rel_semi_join        : LEFT SEMI existence test (no row multiplication)
+- rel_distinct_agg     : exact per-group distinct counts — the exact twin
+                         gating approx_count_distinct (HLL) at scale
 """
 
 from __future__ import annotations
@@ -436,3 +444,129 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 ORACLES["rel_pivot_orders"] = PIVOT_ORDERS_SQL
 QUERIES["rel_pivot_orders"] = pivot_orders
+
+
+# ---------------------------------------------------------------------------
+# Anti / semi join shapes (set-membership filtering)
+# ---------------------------------------------------------------------------
+
+
+ANTI_PRICE_FLOOR = 300_000  # non-vacuous at every testdata SF (3/30/~300 custs)
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no high-value order (o_totalprice > 300k), counted
+    per nation — the LEFT ANTI join shape (TPC-H Q22's NOT EXISTS; in
+    this engine: cells with no candidate after lookup, documents with no
+    prior fingerprint).
+
+    Scale posture: left_anti needs only the right side's join KEY — the
+    price predicate is pushed into the orders scan and the projection is
+    pruned to o_custkey (both asserted in test_plans), so the filtered
+    key set is far smaller than the orders table and AQE can broadcast
+    it even when the full table could never be broadcast. NOT EXISTS,
+    not NOT IN, in the oracle: NOT IN returns an empty set if any NULL
+    key slips in; anti-join semantics match NOT EXISTS."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.where(F.col("o_totalprice") > ANTI_PRICE_FLOOR).select("o_custkey")
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_custs_no_big_order"),
+            F.sum(
+                F.floor(F.col("c_acctbal") * 100).cast("bigint")
+            ).alias("sum_acctbal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ANTI_JOIN_SQL = f"""
+SELECT c_nationkey,
+       count(*)::BIGINT AS n_custs_no_big_order,
+       sum(floor(c_acctbal * 100)::BIGINT)::BIGINT AS sum_acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > {ANTI_PRICE_FLOOR})
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+ORACLES["rel_anti_join"] = ANTI_JOIN_SQL
+QUERIES["rel_anti_join"] = anti_join_customers
+
+
+def semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders containing at least one heavy line item (l_quantity > 45),
+    counted per priority — the LEFT SEMI join shape (EXISTS): membership
+    test without multiplying rows, so no downstream distinct is needed.
+
+    Scale posture: the quantity predicate is pushed into the lineitem
+    scan (PushedFilters) and only l_orderkey survives the projection;
+    semi join never duplicates the left side, so the aggregate input
+    stays exactly |orders| rows."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    heavy = li.where(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        o.join(heavy, o.o_orderkey == heavy.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_heavy_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_heavy_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ORACLES["rel_semi_join"] = SEMI_JOIN_SQL
+QUERIES["rel_semi_join"] = semi_join_orders
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct counts — the exact twin of approx_count_distinct (HLL)
+# ---------------------------------------------------------------------------
+
+
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group distinct cardinalities (parts/suppliers touched per
+    return flag). This is the EXACT twin that gates Spark's HLL sketch:
+    at 100 TB the plan of record is approx_count_distinct (fixed-size
+    sketch, one pass, mergeable map-side) and this query is the
+    small-scale ground truth it is validated against — the same
+    exact-twin discipline as dedup_ngram_jaccard vs the LSH path.
+    tests/test_plans.py asserts the HLL estimate lands within rsd of
+    these exact counts.
+
+    Scale posture: countDistinct expands to a two-level aggregate
+    (partial distinct per partition, then merge) — no row explosion, no
+    driver collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+            F.countDistinct("l_suppkey").cast("bigint").alias("n_supps"),
+            F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+DISTINCT_AGG_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey)::BIGINT AS n_parts,
+       count(DISTINCT l_suppkey)::BIGINT AS n_supps,
+       count(DISTINCT l_orderkey)::BIGINT AS n_orders
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLES["rel_distinct_agg"] = DISTINCT_AGG_SQL
+QUERIES["rel_distinct_agg"] = distinct_agg

@@ -288,3 +288,66 @@ class TestRollupPivotShapes:
         for r in rows:
             assert (r["n_status_f"] + r["n_status_o"] + r["n_status_p"]
                     == totals[r["o_orderpriority"]])
+
+
+class TestAntiSemiDistinctShapes:
+    def test_anti_join_prunes_right_to_key(self, spark):
+        """left_anti must scan only the join key + filter column from
+        orders (pushed price predicate) — reading anything else for a
+        pure membership test is wasted IO at 100 TB."""
+        plan = plan_of(rel.anti_join_customers(spark, SF))
+        m = re.search(r"ReadSchema[^\n]*o_custkey[^\n]*", plan)
+        assert m, plan
+        assert "o_orderdate" not in m.group(0)
+        assert "o_orderpriority" not in m.group(0)
+        assert re.search(r"PushedFilters[^\n]*o_totalprice", plan), plan
+        assert "LeftAnti" in plan
+
+    def test_anti_join_counts_complement(self, spark):
+        rows = rel.anti_join_customers(spark, SF).collect()
+        c = spark.read.parquet(f"{SF}/customer.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        n_without = sum(r["n_custs_no_big_order"] for r in rows)
+        big_custs = (
+            o.where(F.col("o_totalprice") > rel.ANTI_PRICE_FLOOR)
+            .select("o_custkey").distinct()
+        )
+        n_with = c.join(big_custs, c.c_custkey == F.col("o_custkey")).count()
+        assert n_without > 0  # predicate tuned to be non-vacuous at every SF
+        assert n_without + n_with == c.count()
+
+    def test_semi_join_pushes_quantity_filter(self, spark):
+        """The l_quantity predicate must reach the lineitem scan, and the
+        semi join must not multiply orders rows."""
+        plan = plan_of(rel.semi_join_orders(spark, SF))
+        assert re.search(r"PushedFilters[^\n]*l_quantity", plan), plan
+        assert "LeftSemi" in plan
+        n_heavy = sum(
+            r["n_heavy_orders"]
+            for r in rel.semi_join_orders(spark, SF).collect()
+        )
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        assert n_heavy <= o.count()
+
+    def test_hll_estimate_within_rsd_of_exact_twin(self, spark):
+        """approx_count_distinct (the 100 TB plan) lands within its
+        configured relative standard deviation of rel_distinct_agg's
+        exact counts — the sketch is validated, not trusted."""
+        exact = {
+            r["l_returnflag"]: (r["n_parts"], r["n_supps"], r["n_orders"])
+            for r in rel.distinct_agg(spark, SF).collect()
+        }
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        approx = {
+            r["l_returnflag"]: (r["a_parts"], r["a_supps"], r["a_orders"])
+            for r in li.groupBy("l_returnflag").agg(
+                F.approx_count_distinct("l_partkey", 0.02).alias("a_parts"),
+                F.approx_count_distinct("l_suppkey", 0.02).alias("a_supps"),
+                F.approx_count_distinct("l_orderkey", 0.02).alias("a_orders"),
+            ).collect()
+        }
+        assert exact.keys() == approx.keys()
+        for flag, ex in exact.items():
+            for e, a in zip(ex, approx[flag]):
+                # 0.02 rsd -> allow 5 sigma plus integer slack on tiny groups
+                assert abs(a - e) <= max(3, 0.10 * e), (flag, e, a)
