@@ -575,3 +575,160 @@ FROM ranked GROUP BY lang ORDER BY lang
 
 ORACLES["text_token_percentiles"] = TOKEN_PERCENTILES_SQL
 QUERIES["text_token_percentiles"] = token_percentiles
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/test n-gram overlap)
+# ---------------------------------------------------------------------------
+
+DECON_N = 8              # word n-gram width (13 is the common LLM default;
+                         # 8 keeps the synthetic corpus non-vacuous)
+DECON_MOD, DECON_REM = 11, 7   # deterministic benchmark subset: doc_id%11==7
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus decontamination: flag corpus documents sharing any
+    word 8-gram with a held-out benchmark set (here the deterministic
+    doc_id%11==7 subset — no external data). The standard pretraining
+    hygiene pass (GPT-3/PaLM-style n-gram overlap decontamination).
+
+    Scale posture: benchmark suites are tiny next to a 100 TB corpus, so
+    the benchmark gram set is DISTINCT-ed and broadcast; the corpus side
+    is one linear scan + JVM-side transform/explode (sequence+slice —
+    no Python UDF) with ~L grams per doc, then a map-side-combinable
+    groupBy(doc_id). No shuffle of raw text, no self-join."""
+    d = _docs(spark, sf_dir).where(F.trim("text") != "")
+    grams = (
+        d.select("doc_id", _tok_expr().alias("t"))
+        .where(F.size("t") >= DECON_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {DECON_N - 1}),"
+                    f" i -> array_join(slice(t, i, {DECON_N}), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    is_bench = F.col("doc_id") % DECON_MOD == DECON_REM
+    bench = (
+        grams.where(is_bench)
+        .select("gram", F.col("doc_id").alias("bench_doc"))
+        .distinct()
+    )
+    return (
+        grams.where(~is_bench)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_doc").cast("bigint").alias("n_bench_docs"),
+            F.countDistinct("gram").cast("bigint").alias("n_shared_grams"),
+        )
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                "n_bench_docs", "n_shared_grams")
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[u.i:u.i+{DECON_N - 1}], ' ') AS gram
+  FROM toks CROSS JOIN LATERAL unnest(range(1, len(t) - {DECON_N - 2})) AS u(i)
+  WHERE len(t) >= {DECON_N}
+), bench AS (
+  SELECT DISTINCT gram, doc_id AS bench_doc FROM grams
+  WHERE doc_id % {DECON_MOD} = {DECON_REM}
+), corpus AS (
+  SELECT doc_id, gram FROM grams WHERE doc_id % {DECON_MOD} <> {DECON_REM}
+)
+SELECT c.doc_id::BIGINT AS doc_id,
+       count(DISTINCT b.bench_doc)::BIGINT AS n_bench_docs,
+       count(DISTINCT c.gram)::BIGINT AS n_shared_grams
+FROM corpus c JOIN bench b USING (gram)
+GROUP BY c.doc_id ORDER BY doc_id
+"""
+
+ORACLES["text_decontaminate"] = DECONTAMINATE_SQL
+QUERIES["text_decontaminate"] = decontaminate
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (pretraining batch assembly)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512        # tokens per packed sequence
+PACK_SHARD = 100_000     # docs per packing shard (bounds window partition)
+
+
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing: assign docs (ordered by doc_id
+    within a language shard) to fixed token-budget bins — the batch
+    assembly step of a pretraining data pipeline. bin = floor(running
+    token total BEFORE this doc / budget): deterministic, order-stable,
+    oracle-able, and every bin holds ≥budget tokens once it closes.
+
+    Scale posture: the window partitions on (lang, shard) where shard =
+    floor(doc_id / 100k) — packing never needs global order, only
+    within-shard contiguity, so partition size is BOUNDED and no single
+    language becomes one giant window partition at 100 TB. At test scale
+    every doc sits in shard 0 (documented: the shard key proves the plan
+    shape, not the data split)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = F.when(F.trim("text") == "", F.lit(0)).otherwise(F.size(_tok_expr()))
+    shard = F.floor(F.col("doc_id") / PACK_SHARD).cast("bigint")
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = (
+        d.withColumn("n_tokens", toks.cast("bigint"))
+        .withColumn("shard", shard)
+        .withColumn(
+            "bin",
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / PACK_BUDGET
+            ).cast("bigint"),
+        )
+    )
+    return (
+        binned.groupBy("lang", "shard", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .orderBy("lang", "shard", "bin")
+    )
+
+
+SEQ_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         (doc_id // {PACK_SHARD})::BIGINT AS shard,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END
+           AS n_tokens
+  FROM documents
+), b AS (
+  SELECT lang, shard, n_tokens,
+         floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY lang, shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {PACK_BUDGET})::BIGINT AS bin
+  FROM t
+)
+SELECT lang, shard, bin,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS sum_tokens
+FROM b GROUP BY lang, shard, bin ORDER BY lang, shard, bin
+"""
+
+ORACLES["text_seq_pack"] = SEQ_PACK_SQL
+QUERIES["text_seq_pack"] = seq_pack

@@ -244,3 +244,65 @@ class TestTokenPercentiles:
             # percentile_disc returns ACTUAL corpus elements, not interpolations
             for v in (p50, p90, p99):
                 assert (r[i["lang"]], v) in corpus
+
+
+class TestDecontaminate:
+    def test_oracle_twin(self, spark, ducks):
+        rows, cols = _both(spark, ducks, "text_decontaminate")
+        assert rows  # predicate tuned non-vacuous on the synthetic corpus
+        i_doc = cols.index("doc_id")
+        i_bench = cols.index("n_bench_docs")
+        for r in rows:
+            # flagged docs are never benchmark members, and every flag is
+            # backed by at least one benchmark doc
+            from table_annotation_spark.operators.text import (
+                DECON_MOD,
+                DECON_REM,
+            )
+
+            assert r[i_doc] % DECON_MOD != DECON_REM
+            assert r[i_bench] >= 1
+
+    def test_bench_side_is_broadcast(self, spark):
+        from table_annotation_spark.operators import text as t
+
+        df = t.decontaminate(spark, SF_DIR)
+        jvm = df.sparkSession._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestSeqPack:
+    def test_oracle_twin_and_conservation(self, spark, ducks):
+        rows, cols = _both(spark, ducks, "text_seq_pack")
+        from table_annotation_spark.operators.text import PACK_BUDGET
+        from table_annotation_spark.operators import text as t
+
+        i_lang, i_bin = cols.index("lang"), cols.index("bin")
+        i_docs, i_tok = cols.index("n_docs"), cols.index("sum_tokens")
+        # conservation: packing reassigns every doc/token, drops none
+        tc = {
+            r["lang"]: (r["n_docs"], r["total_tokens"])
+            for r in t.token_count(spark, SF_DIR).collect()
+        }
+        by_lang = {}
+        for r in rows:
+            d, k = by_lang.get(r[i_lang], (0, 0))
+            by_lang[r[i_lang]] = (d + r[i_docs], k + r[i_tok])
+        assert by_lang == tc
+        # bins are dense from 0 per (lang, shard=0 at this scale) and every
+        # bin boundary means the running total crossed the budget: bin b
+        # starts only after >= b*budget tokens accumulated
+        for lang in by_lang:
+            bins = sorted(r[i_bin] for r in rows if r[i_lang] == lang)
+            assert bins[0] == 0
+            cum = 0
+            for b, tok in sorted(
+                (r[i_bin], r[i_tok]) for r in rows if r[i_lang] == lang
+            ):
+                assert cum >= b * PACK_BUDGET
+                cum += tok
