@@ -153,3 +153,94 @@ QUERIES = {
     "sim_ann_bruteforce": ann_bruteforce_topk,
     "sim_ann_lsh": ann_lsh_topk,
 }
+
+
+# ---------------------------------------------------------------------------
+# One Lloyd iteration of k-means (IVF coarse-quantizer training shape)
+# ---------------------------------------------------------------------------
+
+KMEANS_DIM = 64      # embedding width in the testdata (fixed by TESTDATA.md)
+KMEANS_ROUND = 4     # distances rounded before ranking: double-precision
+                     # summation ORDER differs between engines (~1e-15
+                     # relative), so rank on a 1e-4 grid with a centroid-id
+                     # tie-break — deterministic on both sides
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration: per-label mean centroids (the M step over
+    the current partition) then nearest-centroid reassignment (the E
+    step), reported as a (true_label, assigned_label) contingency table —
+    the iterative loop body that trains an IVF coarse quantizer for
+    `ann_lsh_topk`'s bucketed search at 100 TB.
+
+    Scale posture: the M step is ONE map-side-combinable aggregate (64
+    avg columns, JVM-side); k centroids are tiny and broadcast for the E
+    step, so reassignment is a broadcast-nested-loop of corpus x k. The
+    argmin is min(struct(dist, clabel)) under groupBy(vec_id) — partial
+    (map-side) aggregation over rows that carry only (vec_id, label,
+    clabel, dist), never a window sort and never a shuffle of the
+    embedding column (test_plans pins: no Window node in the plan)."""
+    e = _emb(spark, sf_dir)
+    cent = e.groupBy(F.col("label").alias("clabel")).agg(
+        F.array(
+            *[F.avg(F.col("embedding")[i]) for i in range(KMEANS_DIM)]
+        ).alias("cvec")
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "cvec",
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        KMEANS_ROUND,
+    )
+    scored = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "clabel", dist.alias("dist"))
+    )
+    best = scored.groupBy("vec_id", "label").agg(
+        F.min(F.struct("dist", "clabel")).alias("m")
+    )
+    return (
+        best.groupBy(
+            F.col("label").cast("bigint").alias("true_label"),
+            F.col("m.clabel").cast("bigint").alias("assigned_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .orderBy("true_label", "assigned_label")
+    )
+
+
+KMEANS_ASSIGN_SQL = f"""
+WITH pos AS (
+  SELECT vec_id, label,
+         unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), cent AS (
+  SELECT label AS clabel, array_agg(cx ORDER BY i) AS cvec
+  FROM (SELECT label, i, avg(x) AS cx FROM pos GROUP BY label, i)
+  GROUP BY label
+), d AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         round(list_distance(e.embedding::DOUBLE[], c.cvec::DOUBLE[]),
+               {KMEANS_ROUND}) AS dist
+  FROM embeddings e CROSS JOIN cent c
+), best AS (
+  SELECT vec_id, label, clabel,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rk
+  FROM d
+)
+SELECT label::BIGINT AS true_label, clabel::BIGINT AS assigned_label,
+       count(*)::BIGINT AS n_vecs
+FROM best WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["sim_kmeans_assign"] = KMEANS_ASSIGN_SQL
+QUERIES["sim_kmeans_assign"] = kmeans_assign

@@ -351,3 +351,33 @@ class TestAntiSemiDistinctShapes:
             for e, a in zip(ex, approx[flag]):
                 # 0.02 rsd -> allow 5 sigma plus integer slack on tiny groups
                 assert abs(a - e) <= max(3, 0.10 * e), (flag, e, a)
+
+
+class TestKmeansAssign:
+    def test_broadcast_centroids_no_window_argmin(self, spark):
+        """The E step must broadcast the k centroids (BroadcastNestedLoop
+        over corpus x k) and express argmin as a partial-aggregable
+        min(struct(dist, clabel)) — a Window sort would shuffle full
+        embedding rows, the wrong plan at 100 TB."""
+        from table_annotation_spark.operators import similarity as sim
+
+        plan = plan_of(sim.kmeans_assign(spark, SF))
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "Window" not in plan
+        # argmin groupBy is map-side combined: partial + final pair on
+        # top of the centroid agg's own pair
+        assert plan.count("HashAggregate") >= 4
+
+    def test_assignment_conserves_vectors(self, spark):
+        from table_annotation_spark.operators import similarity as sim
+
+        rows = sim.kmeans_assign(spark, SF).collect()
+        n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+        assert sum(r["n_vecs"] for r in rows) == n
+        # one Lloyd step over label-seeded centroids keeps the diagonal
+        # dominant on the label-clustered synthetic embeddings
+        diag = sum(
+            r["n_vecs"] for r in rows
+            if r["true_label"] == r["assigned_label"]
+        )
+        assert diag * 2 > n // 2
