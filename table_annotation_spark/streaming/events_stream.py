@@ -84,6 +84,24 @@ def annotate_stream(
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact deduplication on event_id — the streaming twin of
+    ``operators.dedup.exact_dedup``'s first-wins semantics, for ingest
+    pipelines where upstream at-least-once delivery duplicates records.
+
+    Uses ``dropDuplicatesWithinWatermark``: state holds one entry per key
+    seen within the watermark horizon and is EVICTED once the watermark
+    passes, so state is O(keys per watermark window), not O(all keys ever)
+    — the only dedup shape that survives an unbounded 100 TB/day stream.
+    The contract is correspondingly bounded: duplicates arriving further
+    apart than the watermark are NOT collapsed (exact global dedup is the
+    batch operator's job)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """CUSTOM STATEFUL streaming operator: per-user gap sessionization via
     ``applyInPandasWithState`` — the streaming twin of

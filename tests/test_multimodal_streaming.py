@@ -304,3 +304,33 @@ class TestStatefulSessionizeExact:
             f"missing: {sorted(batch - streamed_real)[:5]} "
             f"spurious: {sorted(streamed_real - batch)[:5]}"
         )
+
+
+class TestStreamingDedup:
+    def test_duplicated_stream_collapses_to_batch_distinct(self, spark, tmp_path):
+        """Write the events table into the stream dir TWICE (two files,
+        identical rows): dropDuplicatesWithinWatermark must emit every
+        event exactly once — the streamed set equals the batch table."""
+        sf_dir = "/root/testdata/sf0.001"
+        stream_dir = str(tmp_path / "dup_events")
+        events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        events.coalesce(1).write.mode("append").parquet(stream_dir)
+        events.coalesce(1).write.mode("append").parquet(stream_dir)
+
+        stream = es.read_events_stream(spark, stream_dir)
+        deduped = es.dedup_stream(stream).select(
+            "event_id", "user_id", "event_type"
+        )
+        q = es.run_to_memory(deduped, "dedup_stream_t")
+        q.awaitTermination()
+        got = {
+            tuple(r)
+            for r in spark.sql("select * from dedup_stream_t").collect()
+        }
+        want = {
+            tuple(r)
+            for r in events.select("event_id", "user_id", "event_type").collect()
+        }
+        assert got == want
