@@ -33,11 +33,23 @@ def _norm_text():
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-groupBy exact duplicate groups over normalized text."""
-    d = _docs(spark, sf_dir)
-    g = d.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.md5(_norm_text()).alias("fingerprint"),
+    """Hash-groupBy exact duplicate groups over normalized text.
+
+    The synthetic corpus has no exact-duplicate normalized texts at the
+    driver's gate SF, which made the oracle comparison vacuous (0 = 0 rows
+    gates nothing — VERDICT r4). Like ``pii_redact``'s augmentation, every
+    doc with ``doc_id % 7 == 0`` is first unioned back in under a shifted
+    id (same formula in the oracle), so the duplicate-group path is
+    hash-gated on real collisions at every SF. Narrow union + one
+    groupBy — scale posture unchanged."""
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    dup = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    g = d.unionByName(dup).select(
+        "doc_id", F.md5(_norm_text()).alias("fingerprint")
     )
     return (
         g.groupBy("fingerprint")
@@ -51,10 +63,14 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXACT_DEDUP_SQL = """
-WITH g AS (
-  SELECT doc_id::BIGINT AS doc_id,
+WITH aug AS (
+  SELECT doc_id::BIGINT AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id::BIGINT + 10000000, text FROM documents WHERE doc_id % 7 = 0
+), g AS (
+  SELECT doc_id,
          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
-  FROM documents
+  FROM aug
 )
 SELECT fingerprint, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS keep_doc_id
 FROM g GROUP BY fingerprint HAVING count(*) > 1 ORDER BY fingerprint

@@ -146,11 +146,16 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: three groupBys all keyed on user_id (one exchange reused
     under co-partitioning; AQE coalesces), integer epoch arithmetic only so
     every engine agrees exactly. No windows over the full event set, no
-    per-user collect."""
+    per-user collect.
+
+    Epochs are MICROSECOND integers (unix_micros here, epoch_us in the
+    oracle) — second-granularity truncation vs rounding diverges between
+    engines for same-user events near a second boundary and flips the
+    strict ``epoch >`` ordering gates (same discipline as asof_join)."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         F.col("user_id").cast("bigint").alias("user_id"),
         F.col("event_type"),
-        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("epoch"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("epoch"),
     )
     v = (
         e.where(F.col("event_type") == "view")
@@ -194,7 +199,7 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNNEL_SQL = """
 WITH e AS (
   SELECT user_id::BIGINT AS user_id, event_type,
-         epoch(ts::TIMESTAMP)::BIGINT AS epoch
+         epoch_us(ts::TIMESTAMP)::BIGINT AS epoch
   FROM events
 ), v AS (
   SELECT user_id, min(epoch) AS t_view FROM e

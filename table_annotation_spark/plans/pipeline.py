@@ -185,12 +185,36 @@ class PipelineRun:
             canonicalize(triples, cea_mentions, checkpoint=self._cc_checkpoint())
         )
         # decode the dict-encoded table id back to the natural string key on
-        # the public output (internal frames stay int-keyed)
-        triples_canon = (
-            triples_canon.withColumnRenamed("table_id", "tid")
-            .join(F.broadcast(tid_map), "tid")
-            .drop("tid")
-        )
+        # the public output (internal frames stay int-keyed). LEFT join +
+        # raise_error on unmapped ids: if a checkpointed frame is ever
+        # resumed against changed input, a tid outside the rebuilt map must
+        # ERROR at materialization, not silently drop/relabel rows
+        # (ADVICE r4).
+        def _decode_tid(df: DataFrame) -> DataFrame:
+            if "table_id" not in df.columns:
+                return df
+            decoded = (
+                df.withColumnRenamed("table_id", "tid")
+                .join(F.broadcast(tid_map), "tid", "left")
+            )
+            return decoded.withColumn(
+                "table_id",
+                F.when(
+                    F.col("table_id").isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "dict-encoded table_id not in tid_map "
+                                "(checkpoint resumed against changed "
+                                "input?): tid="
+                            ),
+                            F.col("tid").cast("string"),
+                        )
+                    ),
+                ).otherwise(F.col("table_id")),
+            ).drop("tid")
+
+        triples_canon = _decode_tid(triples_canon)
         triples_canon = self._checkpoint("triples", triples_canon)
         # the CC per-iteration parquet checkpoints are only alive while the
         # canonicalized-triples lineage still reads them; once "triples" is
@@ -213,16 +237,8 @@ class PipelineRun:
         # encoding is an internal shuffle-width optimization, so decode at
         # the API boundary (lazy broadcast join against the few-MB map —
         # costs nothing unless the frame is actually collected). Internal
-        # variables (body/cand/result.*) stay int-keyed.
-        def _decode_tid(df: DataFrame) -> DataFrame:
-            if "table_id" not in df.columns:
-                return df
-            return (
-                df.withColumnRenamed("table_id", "tid")
-                .join(F.broadcast(tid_map), "tid")
-                .drop("tid")
-            )
-
+        # variables (body/cand/result.*) stay int-keyed. _decode_tid (above)
+        # errors loudly on ids missing from the rebuilt map.
         return {
             "manifest": manifest,
             "prep": prep,
