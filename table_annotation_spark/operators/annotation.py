@@ -1050,12 +1050,16 @@ def annotate(
     """Full 4-pass annotation (table_annotation.py:51-112)."""
     import time as _t
 
+    from ..session import job_group
+
     timings = timings if timings is not None else {}
+    spark = cand.sparkSession
 
     t0 = _t.time()
-    inp = build_inputs(
-        cand, body, col_classes, edges, degrees, multihop, timings=timings
-    )
+    with job_group(spark, "annot_build_inputs"):
+        inp = build_inputs(
+            cand, body, col_classes, edges, degrees, multihop, timings=timings
+        )
     timings["build_inputs"] = round(_t.time() - t0, 2)
 
     # pass 1.
@@ -1065,9 +1069,10 @@ def annotate(
     # (cell, entity, score)), so the scores frame feeds CPA¹ directly and
     # the full-candidate-set sort window is skipped.
     t0 = _t.time()
-    s1 = entity_scores_pass1(inp)
-    cpa1 = _mat(cpa_task(inp, s1, only_one=False, sim_scores=True))
-    force_parallel(cpa1)
+    with job_group(spark, "annot_pass1"):
+        s1 = entity_scores_pass1(inp)
+        cpa1 = _mat(cpa_task(inp, s1, only_one=False, sim_scores=True))
+        force_parallel(cpa1)
     timings["pass1"] = round(_t.time() - t0, 2)
 
     # pass 2: soft re-weighting. Same identity: CEA² (only_one=False, no
@@ -1076,19 +1081,21 @@ def annotate(
     # lazy checkpoint materializes inside s2's wave and pass 4 reuses the
     # blocks instead of re-deriving the ctx_entries ⋈ top-CPA join.
     t0 = _t.time()
-    we = _mat(update_context_weights(inp, cpa1))
-    s2, _, _, _ = entity_scores_soft(inp, we, cpa1)
-    s2 = _mat(s2)
-    cta2 = _mat(cta_task(inp, s2, only_one=False))
-    force_waves([s2], [cta2])  # cta2 reads s2
+    with job_group(spark, "annot_pass2"):
+        we = _mat(update_context_weights(inp, cpa1))
+        s2, _, _, _ = entity_scores_soft(inp, we, cpa1)
+        s2 = _mat(s2)
+        cta2 = _mat(cta_task(inp, s2, only_one=False))
+        force_waves([s2], [cta2])  # cta2 reads s2
     timings["pass2"] = round(_t.time() - t0, 2)
 
     # pass 3: disambiguation
     t0 = _t.time()
-    cea3 = _mat(cea_task(inp, s2, cta=cta2, only_one=True))
-    cta3 = _mat(cta_task(inp, cea3, only_one=True))
-    cpa3 = _mat(cpa_task(inp, cea3, only_one=False))
-    force_waves([cea3], [cta3, cpa3])  # cta3 ∥ cpa3, both read cea3
+    with job_group(spark, "annot_pass3"):
+        cea3 = _mat(cea_task(inp, s2, cta=cta2, only_one=True))
+        cta3 = _mat(cta_task(inp, cea3, only_one=True))
+        cpa3 = _mat(cpa_task(inp, cea3, only_one=False))
+        force_waves([cea3], [cta3, cpa3])  # cta3 ∥ cpa3, both read cea3
     timings["pass3"] = round(_t.time() - t0, 2)
 
     # pass 4: reinforced disambiguation.
@@ -1097,34 +1104,36 @@ def annotate(
     # entry WEIGHTS remain the ones computed from CPA¹ in pass 2; only the
     # CPA used for scale factors advances to CPA³.
     t0 = _t.time()
-    unrelated = _mat(literal_context_restriction(inp, cpa3))
-    s3, ctxless, potential, scored = entity_scores_soft(
-        inp, we, cpa3, unrelated_pairs=unrelated, last_step=True
-    )
-    s3 = _mat(s3)
-    if ctxless is not None:
-        ctxless = _mat(ctxless)
-    if potential is not None:
-        potential = _mat(potential)
-    # the shared interior `scored` frame is checkpointed inside
-    # entity_scores_soft and forced in its own wave (it reads `unrelated`),
-    # so s3/ctxless/potential become mutually independent consumers of a
-    # materialized ancestor — one parallel wave instead of three sequential
-    # recomputes of the scored subtree
-    force_waves([unrelated], [scored])
-    timings["pass4_scored"] = round(_t.time() - t0, 2)
-    t1 = _t.time()
-    force_waves([s3, ctxless, potential])
-    timings["pass4_s3wave"] = round(_t.time() - t1, 2)
-    t1 = _t.time()
-    cea4 = _mat(
-        cea_task(
-            inp, s3, cta=cta3, only_one=True, contextless=ctxless, potential=potential
+    with job_group(spark, "annot_pass4"):
+        unrelated = _mat(literal_context_restriction(inp, cpa3))
+        s3, ctxless, potential, scored = entity_scores_soft(
+            inp, we, cpa3, unrelated_pairs=unrelated, last_step=True
         )
-    )
-    force_parallel(cea4)
-    timings["pass4_cea4"] = round(_t.time() - t1, 2)
-    cta4 = _mat(cta_task(inp, cea4, only_one=True))
-    cpa4 = _mat(cpa_task(inp, cea4, only_one=True, unrelated_pairs=unrelated))
+        s3 = _mat(s3)
+        if ctxless is not None:
+            ctxless = _mat(ctxless)
+        if potential is not None:
+            potential = _mat(potential)
+        # the shared interior `scored` frame is checkpointed inside
+        # entity_scores_soft and forced in its own wave (it reads
+        # `unrelated`), so s3/ctxless/potential become mutually independent
+        # consumers of a materialized ancestor — one parallel wave instead
+        # of three sequential recomputes of the scored subtree
+        force_waves([unrelated], [scored])
+        timings["pass4_scored"] = round(_t.time() - t0, 2)
+        t1 = _t.time()
+        force_waves([s3, ctxless, potential])
+        timings["pass4_s3wave"] = round(_t.time() - t1, 2)
+        t1 = _t.time()
+        cea4 = _mat(
+            cea_task(
+                inp, s3, cta=cta3, only_one=True, contextless=ctxless,
+                potential=potential,
+            )
+        )
+        force_parallel(cea4)
+        timings["pass4_cea4"] = round(_t.time() - t1, 2)
+        cta4 = _mat(cta_task(inp, cea4, only_one=True))
+        cpa4 = _mat(cpa_task(inp, cea4, only_one=True, unrelated_pairs=unrelated))
     timings["pass4"] = round(_t.time() - t0, 2)
     return AnnotationResult(cea=cea4, cta=cta4, cpa=cpa4, inputs=inp)

@@ -244,3 +244,155 @@ FROM best WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2
 
 ORACLES["sim_kmeans_assign"] = KMEANS_ASSIGN_SQL
 QUERIES["sim_kmeans_assign"] = kmeans_assign
+
+
+# ---------------------------------------------------------------------------
+# Multi-iteration k-means training (the actual IVF coarse-quantizer loop)
+# ---------------------------------------------------------------------------
+
+KMEANS_ITERS = 3
+KMEANS_CENT_ROUND = 6  # centroid coordinates rounded after every M step:
+                       # avg() summation order differs between engines
+                       # (~1e-15 relative), and drift COMPOUNDS across
+                       # iterations — pin each M step to a 1e-6 grid so both
+                       # engines iterate over identical centroids
+
+
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMEANS_ITERS full Lloyd iterations (E+M per iteration), seeded with
+    per-label means — the training loop that produces an IVF coarse
+    quantizer for `ann_lsh_topk`'s bucketed search. Output: the final
+    (true_label, assigned_label) contingency table.
+
+    Scale posture (what Spark MLlib's KMeans itself does): centroids are
+    k×dim — genuinely tiny at ANY corpus size — so each M step collects k
+    rows to the driver and rebroadcasts them as a literal plan; each
+    iteration is then ONE corpus scan (broadcast-nested-loop × k, min-struct
+    argmin, map-side-combinable avg — only k×partitions partial rows ever
+    shuffle). No Window, the embedding column never shuffles, no lineage
+    accretion across iterations (each iteration reads the literal
+    centroids, not the previous plan). Empty clusters drop out (standard
+    Lloyd degeneracy; both engines agree since assignments agree)."""
+    e = _emb(spark, sf_dir)
+
+    def m_step(assigned: DataFrame) -> list:
+        """Mean per assigned cluster, coordinates pinned to the 1e-6 grid;
+        returns the k collected rows."""
+        return (
+            assigned.groupBy("clabel")
+            .agg(
+                F.array(
+                    *[
+                        F.round(F.avg(F.col("embedding")[i]), KMEANS_CENT_ROUND)
+                        for i in range(KMEANS_DIM)
+                    ]
+                ).alias("cvec")
+            )
+            .collect()
+        )
+
+    def e_step(cent_rows: list) -> DataFrame:
+        cent = spark.createDataFrame(
+            cent_rows, "clabel bigint, cvec array<double>"
+        )
+        dist = F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        "cvec",
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+            KMEANS_ROUND,
+        )
+        scored = e.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "label", "embedding", "clabel", dist.alias("dist")
+        )
+        best = scored.groupBy("vec_id", "label").agg(
+            F.min(F.struct("dist", "clabel")).alias("m"),
+            F.first("embedding").alias("embedding"),
+        )
+        return best.select(
+            "vec_id", "label", F.col("m.clabel").alias("clabel"), "embedding"
+        )
+
+    # seed: per-label means (same deterministic seeding as kmeans_assign)
+    cent_rows = m_step(
+        e.select("embedding", F.col("label").cast("bigint").alias("clabel"))
+    )
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        assigned = e_step(cent_rows)
+        cent_rows = m_step(assigned)
+
+    return (
+        assigned.groupBy(
+            F.col("label").cast("bigint").alias("true_label"),
+            F.col("clabel").cast("bigint").alias("assigned_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .orderBy("true_label", "assigned_label")
+    )
+
+
+def _kmeans_train_sql(iters: int = KMEANS_ITERS) -> str:
+    """Nested-CTE DuckDB restatement: cent0 = per-label means, then
+    (assign_i from cent_{i-1}, cent_i from assign_i) per iteration — the
+    same 1e-4 distance grid and 1e-6 centroid grid as the Spark side."""
+    ctes = [
+        """pos AS (
+  SELECT vec_id, label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)""",
+        """cent0 AS (
+  SELECT clabel, array_agg(cx ORDER BY i) AS cvec FROM (
+    SELECT label AS clabel, i, round(avg(x), %(cr)d) AS cx
+    FROM pos GROUP BY label, i
+  ) GROUP BY clabel
+)""" % {"cr": KMEANS_CENT_ROUND},
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"""d{it} AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         round(list_distance(e.embedding::DOUBLE[], c.cvec::DOUBLE[]),
+               {KMEANS_ROUND}) AS dist
+  FROM embeddings e CROSS JOIN cent{it - 1} c
+), a{it} AS (
+  SELECT vec_id, label, clabel FROM (
+    SELECT vec_id, label, clabel,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rk
+    FROM d{it}
+  ) WHERE rk = 1
+)"""
+        )
+        if it < iters:
+            ctes.append(
+                f"""cent{it} AS (
+  SELECT clabel, array_agg(cx ORDER BY i) AS cvec FROM (
+    SELECT a.clabel, p.i, round(avg(p.x), {KMEANS_CENT_ROUND}) AS cx
+    FROM a{it} a JOIN pos p USING (vec_id) GROUP BY a.clabel, p.i
+  ) GROUP BY clabel
+)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT label::BIGINT AS true_label, clabel::BIGINT AS assigned_label,
+       count(*)::BIGINT AS n_vecs
+FROM a{iters} GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    )
+
+
+KMEANS_TRAIN_SQL = _kmeans_train_sql()
+
+ORACLES["sim_kmeans_train"] = KMEANS_TRAIN_SQL
+QUERIES["sim_kmeans_train"] = kmeans_train

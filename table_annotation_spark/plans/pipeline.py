@@ -92,15 +92,18 @@ class PipelineRun:
         """Execute (or resume) the full pipeline. Returns all stage outputs."""
         t_start = time.time()
 
+        from ..session import job_counts, job_group
+
         if self._is_done("prep"):
             prep = self._load("prep")
         else:
             t0 = time.time()
-            cells = extract_cells(src)
-            prep = preprocess_cells(cells)
-            if not self.checkpoint_dir:
-                prep = prep.transform(_sckpt)
-            prep = self._checkpoint("prep", prep)
+            with job_group(self.spark, "stage_prep"):
+                cells = extract_cells(src)
+                prep = preprocess_cells(cells)
+                if not self.checkpoint_dir:
+                    prep = prep.transform(_sckpt)
+                prep = self._checkpoint("prep", prep)
             self.metrics["prep_sec"] = round(time.time() - t0, 3)
         manifest = extract_manifest(src)
 
@@ -140,16 +143,17 @@ class PipelineRun:
             cand = self._load("candidates")
         else:
             t0 = time.time()
-            idf = lk.token_idf(self.labels)
-            cand, _kept = lk.lookup(
-                body, classes, self.labels, idf,
-                k=self.k, max_gram_df=self.max_gram_df,
-                multi_resolution=self.multi_resolution,
-                max_candidates_per_mention=self.max_candidates_per_mention,
-            )
-            if not self.checkpoint_dir:
-                cand = _sckpt(cand, eager=True)
-            cand = self._checkpoint("candidates", cand)
+            with job_group(self.spark, "stage_lookup"):
+                idf = lk.token_idf(self.labels)
+                cand, _kept = lk.lookup(
+                    body, classes, self.labels, idf,
+                    k=self.k, max_gram_df=self.max_gram_df,
+                    multi_resolution=self.multi_resolution,
+                    max_candidates_per_mention=self.max_candidates_per_mention,
+                )
+                if not self.checkpoint_dir:
+                    cand = _sckpt(cand, eager=True)
+                cand = self._checkpoint("candidates", cand)
             self.metrics["lookup_sec"] = round(time.time() - t0, 3)
 
         t0 = time.time()
@@ -176,6 +180,9 @@ class PipelineRun:
         self.metrics["annotate_sec"] = round(time.time() - t0, 3)
 
         t0 = time.time()
+        self.spark.sparkContext.setJobGroup(
+            "stage_materialize", "stage_materialize"
+        )
         triples = emit_triples(result)
         cea_mentions = result.cea.join(
             cand.select("table_id", "row_idx", "col_idx", "entity", "mention_norm"),
@@ -224,8 +231,12 @@ class PipelineRun:
             import shutil
 
             shutil.rmtree(os.path.join(self.checkpoint_dir, "cc"), ignore_errors=True)
+        self.spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
         self.metrics["materialize_sec"] = round(time.time() - t0, 3)
         self.metrics["total_sec"] = round(time.time() - t_start, 3)
+        # per-group cumulative job counts — the driver-floor term (per-job
+        # latency × count) the r4 verdict asked to make legible in artifacts
+        self.metrics["jobs"] = job_counts(self.spark)
 
         if self.checkpoint_dir:
             with open(

@@ -145,6 +145,50 @@ def bcast(df):
     return F.broadcast(df) if forced != "false" else df
 
 
+from contextlib import contextmanager
+
+# every job group the engine tags; pipeline.run reports a per-group job
+# count in its metrics so the driver-floor term (per-job latency × job
+# count) is legible round-over-round in the bench artifact (VERDICT r4 #7)
+JOB_GROUPS = [
+    "stage_prep", "stage_lookup",
+    "annot_build_inputs", "annot_pass1", "annot_pass2", "annot_pass3",
+    "annot_pass4",
+    "stage_materialize",
+]
+
+
+@contextmanager
+def job_group(spark: SparkSession, name: str):
+    """Tag every job submitted inside the block (and lazy frames whose FIRST
+    action lands inside it) with ``name``. Jobs of frames built here but
+    materialized later are attributed to the group active at action time —
+    by design: the count measures where driver latency is actually paid."""
+    sc = spark.sparkContext
+    sc.setJobGroup(name, name)
+    try:
+        yield
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+
+
+def job_counts(spark: SparkSession) -> dict[str, int]:
+    """Cumulative per-group job counts for this session (plus ungrouped)."""
+    tracker = spark.sparkContext.statusTracker()
+    out = {}
+    for g in JOB_GROUPS:
+        try:
+            out[g] = len(tracker.getJobIdsForGroup(g) or [])
+        except Exception:
+            out[g] = -1
+    try:
+        out["ungrouped"] = len(tracker.getJobIdsForGroup(None) or [])
+    except Exception:
+        out["ungrouped"] = -1
+    return out
+
+
 def get_spark(
     app_name: str = "table_annotation_spark",
     master: str | None = None,
