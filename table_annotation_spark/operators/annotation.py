@@ -248,7 +248,10 @@ def build_inputs(
     ).withColumn(
         "reliable", (F.col("head_score") > 0.1) | (F.col("tail_score") > 0.1)
     )
-    row_pairs = _mat(row_pairs)
+    # head_len/tail_len/best_prox are consumed by the score expressions
+    # above; dropping them before the checkpoint saves their bytes in the
+    # biggest materialized frame of the engine (row-pair scale)
+    row_pairs = _mat(row_pairs.drop("head_len", "tail_len", "best_prox"))
     _force_wave("w3_row_pairs", [row_pairs, lit_match], timings)
     _mark("w3")
 
@@ -311,19 +314,28 @@ def build_inputs(
         .select("table_id", "row_idx", "head_col", "tail_col",
                 "head_ent", "tail_ent", "rel")
     )
+    # ctx_rels carries the ORIENTED pair columns (head_col, tail_col) from
+    # birth: they are pure functions of the entry geometry (ecol_pairs is
+    # built head<tail, el_pairs head=entity col — so rels_h/rels_t inherit
+    # row_pairs' orientation and a literal entry's head is its entity col),
+    # which lets entity_scores_soft's scale-factor lookup join ctx_rels
+    # straight against the broadcast CPA pair set instead of first joining
+    # the row-scale weighted-entries frame on the 5-column entry key (a
+    # big-big sort-merge join that ran once per soft-scoring pass).
     rels_h = rp_rel.select(
         "table_id", "row_idx", F.col("head_col").alias("col_idx"),
         F.col("head_ent").alias("entity"), F.col("tail_col").alias("ctx_col"),
-        "rel",
+        "rel", "head_col", "tail_col",
     )
     rels_t = rp_rel.select(
         "table_id", "row_idx", F.col("tail_col").alias("col_idx"),
         F.col("tail_ent").alias("entity"), F.col("head_col").alias("ctx_col"),
-        "rel",
+        "rel", "head_col", "tail_col",
     )
     rels_l = lit_match.select(
         "table_id", "row_idx", "col_idx", "entity",
         F.col("lit_col").alias("ctx_col"), F.col("pid").alias("rel"),
+        F.col("col_idx").alias("head_col"), F.col("lit_col").alias("tail_col"),
     )
     ctx_rels = _mat(rels_h.unionByName(rels_t).unionByName(rels_l).distinct())
     _force_wave("w4_ctx", [ctx_entries, ctx_rels, cached_rel], timings)
@@ -395,7 +407,13 @@ def update_context_weights(inp: AnnotInputs, cpa: DataFrame) -> DataFrame:
         F.col("cpa_cov").isNotNull(),
         F.greatest(floor, base * F.col("cpa_cov") * F.col("cpa_prox") * df_col),
     ).otherwise(floor)
-    return e.withColumn("weight", weight).drop("min_ecol")
+    # pruned to what the soft-scoring passes read: this frame is
+    # ctx-entries-scale and checkpointed once for passes 2+4, so every
+    # column it carries is serialized + shuffled at row scale twice
+    return e.withColumn("weight", weight).select(
+        "table_id", "row_idx", "col_idx", "entity", "ctx_col",
+        "ctx_kind", "score", "head_col", "tail_col", "weight",
+    )
 
 
 def entity_scores_soft(
@@ -432,10 +450,16 @@ def entity_scores_soft(
     )
 
     key = ["table_id", "row_idx", "col_idx", "entity", "ctx_col"]
-    # scale factor: first (lowest-rank) CPA of the pair present in entry rels
+    # scale factor: first (lowest-rank) CPA of the pair present in entry
+    # rels. ctx_rels carries its oriented (head_col, tail_col) from build
+    # time, so this is ONE broadcast-hash join against the tiny CPA set plus
+    # a map-side-combinable agg — no row-scale join with `considered`. Keys
+    # outside `considered` (pair not in cpa_k is already excluded by the
+    # join; pass-4 unrelated pairs) drop out in the left join below: a key
+    # pins its (head_col, tail_col), so an excluded pair's keys simply never
+    # appear on the `considered` side.
     rel_match = (
-        considered.select(*key, "head_col", "tail_col")
-        .join(inp.ctx_rels.withColumnRenamed("rel", "ctx_rel"), key)
+        inp.ctx_rels.withColumnRenamed("rel", "ctx_rel")
         .join(bcast(cpa_k), ["table_id", "head_col", "tail_col"])
         .where(F.col("rel") == F.col("ctx_rel"))
         .groupBy(*key)
@@ -449,9 +473,14 @@ def entity_scores_soft(
     if last_step:
         # three outputs (scores, contextless, potential) consume this frame;
         # without a checkpoint each one re-derives the whole considered ⋈
-        # ctx_rels ⋈ cpa subtree in its own job (the scored subtree is the
-        # dominant pass-4 cost — measured 3× recompute at replicate-4)
-        scored = _mat(scored)
+        # rel_match ⋈ cpa subtree in its own job (the scored subtree is the
+        # dominant pass-4 cost — measured 3× recompute at replicate-4).
+        # Pruned to the union of the three consumers' columns before the
+        # checkpoint: score/scale/sim never leave this function.
+        scored = _mat(scored.select(
+            "table_id", "row_idx", "col_idx", "entity", "ctx_col",
+            "ctx_kind", "head_col", "tail_col", "weight", "scaled",
+        ))
     base = F.when(F.col("ctx_kind") == "entity", SEMANTIC_W).otherwise(LITERAL_W)
     agg = scored.groupBy("table_id", "row_idx", "col_idx", "entity").agg(
         F.sum(F.col("weight") * F.col("scaled")).alias("num"),
