@@ -19,6 +19,8 @@ oracled by DuckDB:
                          natively; oracled by DuckDB's native ASOF JOIN
 - rel_rollup_pricing   : hierarchical subtotals (GROUP BY ROLLUP) as one
                          Expand + hash agg — never per-level re-scans
+- rel_cube_pricing     : full grouping-set lattice (GROUP BY CUBE) with
+                         grouping_id disambiguation — same one-Expand plan
 - rel_pivot_orders     : long→wide conditional agg with an EXPLICIT pivot
                          value list (no schema-discovery distinct job)
 - rel_anti_join        : LEFT ANTI membership complement (NOT EXISTS)
@@ -396,6 +398,59 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 
 ORACLES["rel_rollup_pricing"] = ROLLUP_PRICING_SQL
 QUERIES["rel_rollup_pricing"] = rollup_pricing
+
+
+# ---------------------------------------------------------------------------
+# CUBE (full grouping-set lattice) — the grouping-sets twin of rollup
+# ---------------------------------------------------------------------------
+
+
+def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^2 grouping sets over (l_returnflag, l_linestatus) via CUBE,
+    disambiguated by grouping_id (Spark's bitmask — MSB = first grouping
+    column, bit set when the column is aggregated away — matches DuckDB's
+    GROUPING(a, b), verified empirically). grouping_id, not NULL-sniffing:
+    a genuine NULL data value in a grouping column is indistinguishable
+    from a subtotal NULL without it.
+
+    Scale posture: like rollup, Spark compiles CUBE into ONE Expand (4×
+    row replication) feeding a single map-side-combinable hash aggregate —
+    one scan, one exchange, never 4 re-scans (plan-pinned in
+    tests/test_relational_shapes.py). Money in integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("sum_price_cents"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid",
+                "n_items", "sum_qty", "sum_price_cents")
+        .orderBy(
+            F.col("gid"),
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+       count(*)::BIGINT AS n_items,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+       sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_price_cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+ORACLES["rel_cube_pricing"] = CUBE_PRICING_SQL
+QUERIES["rel_cube_pricing"] = cube_pricing
 
 
 # ---------------------------------------------------------------------------

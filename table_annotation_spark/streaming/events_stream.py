@@ -9,6 +9,10 @@ match), so streaming here serves two engine capabilities:
    rows is annotated per micro-batch via foreachBatch running the SAME batch
    pipeline (exactly-once per batch when the sink is idempotent on
    (table_id, row_idx, pred) keys).
+3. ``windowed_topk_stream`` — per-window top-k event types: append-mode
+   windowed counts (finalized atomically per window) + foreachBatch rank.
+4. ``dedup_stream`` / ``sessionize_stream`` — watermark-evicted exact dedup
+   and custom stateful gap sessionization (applyInPandasWithState).
 
 Both are tested with file-source streams over the driver parquet
 (tests/test_streaming.py) using availableNow triggers — no long-running jobs.
@@ -50,6 +54,58 @@ def windowed_event_counts(
             F.col("w.start").alias("window_start"),
             "event_type", "n_events", "value_milli",
         )
+    )
+
+
+def windowed_topk_stream(
+    stream_df: DataFrame,
+    out_dir: str,
+    ckpt_dir: str,
+    k: int = 3,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Per-window top-k over a stream: the k most frequent event types per
+    tumbling event-time window — the streaming twin of the batch
+    rank-per-group shape (relational.topk_window / text.ngram_topk).
+
+    Rank is NOT a streaming-expressible aggregate, so the plan is the
+    canonical two-stage decomposition: (1) the watermarked windowed count
+    (windowed_event_counts) in APPEND mode, which emits each window's
+    groups exactly once — atomically, in the micro-batch whose watermark
+    passes the window end, because the watermark is global per trigger —
+    then (2) a foreachBatch row_number()-per-window over those finalized
+    rows. Since a window's rows always finalize together, the per-batch
+    rank IS the exact per-window rank; no cross-batch state beyond the
+    windowed agg's own store (O(open windows × event types), watermark-
+    evicted).
+
+    Ties break on event_type ascending so the emitted set is deterministic
+    across restarts (pinned by TestStreamingTopK's 3-restart harness)."""
+    from pyspark.sql import Window
+
+    counts = windowed_event_counts(stream_df, window, watermark)
+
+    def emit_topk(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+        (
+            batch_df.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= k)
+            .select("window_start", "event_type", "n_events", "rank")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        counts.writeStream.foreachBatch(emit_topk)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

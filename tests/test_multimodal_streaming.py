@@ -306,6 +306,86 @@ class TestStatefulSessionizeExact:
         )
 
 
+class TestStreamingTopK:
+    def test_multi_restart_topk_equals_batch_exactly(self, spark, tmp_path):
+        """3 sequential availableNow runs over a growing file-source dir
+        sharing ONE checkpoint (first half by time / second half + far-
+        future sentinel / later sentinel — same harness as
+        TestStatefulSessionizeExact). The sentinels advance the watermark
+        past every real window, so every real window finalizes and its
+        top-k is emitted exactly once; the streamed top-k set for real
+        windows must equal the batch rank-per-window EXACTLY, including
+        the last (otherwise-open) hour."""
+        import table_annotation_spark.streaming.events_stream as es2
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        sf_dir = "/root/testdata/sf0.001"
+        stream_dir = str(tmp_path / "topk_events")
+        ckpt_dir = str(tmp_path / "topk_ckpt")
+        out_dir = str(tmp_path / "topk_out")
+        K = 3
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        schema = events.schema
+        epoch_col = F.unix_timestamp(F.col("ts").cast("timestamp"))
+        median_ts = events.select(
+            F.percentile_approx(epoch_col, 0.5).alias("m")
+        ).collect()[0]["m"]
+        max_ts = events.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+        first = events.where(epoch_col <= median_ts)
+        second = events.where(epoch_col > median_ts)
+
+        def sentinel(days: int, eid: int):
+            return spark.createDataFrame(
+                [(eid, max_ts + __import__("datetime").timedelta(days=days),
+                  -1, "sentinel", 0.0, "{}")],
+                schema,
+            )
+
+        def run_pass():
+            q = es2.windowed_topk_stream(
+                es2.read_events_stream(spark, stream_dir, schema=schema),
+                out_dir, ckpt_dir, k=K,
+            )
+            q.awaitTermination()
+
+        first.write.mode("append").parquet(stream_dir)
+        run_pass()
+        second.unionByName(sentinel(30, 20_000_001)).write.mode("append").parquet(
+            stream_dir
+        )
+        run_pass()
+        sentinel(60, 20_000_002).write.mode("append").parquet(stream_dir)
+        run_pass()
+
+        streamed = {
+            tuple(r)
+            for r in spark.read.parquet(out_dir)
+            .where(F.col("event_type") != "sentinel")
+            .collect()
+        }
+        w = Window.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+        batch = {
+            tuple(r)
+            for r in events.groupBy(
+                F.date_trunc("hour", F.col("ts").cast("timestamp"))
+                .alias("window_start"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+            .withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rank") <= K)
+            .collect()
+        }
+        assert streamed == batch, (
+            f"missing: {sorted(batch - streamed)[:5]} "
+            f"spurious: {sorted(streamed - batch)[:5]}"
+        )
+
+
 class TestStreamingDedup:
     def test_duplicated_stream_collapses_to_batch_distinct(self, spark, tmp_path):
         """Write the events table into the stream dir TWICE (two files,

@@ -270,6 +270,34 @@ class TestRollupPivotShapes:
                            if r["l_returnflag"] == s["l_returnflag"]]
             assert s["n_items"] == sum(r["n_items"] for r in flag_leaves)
 
+    def test_cube_is_single_expand_aggregate(self, spark):
+        """CUBE (4 grouping sets) must also compile to ONE scan + Expand +
+        hash aggregate — 4 per-set re-scans is the failure mode at 100 TB."""
+        plan = plan_of(rel.cube_pricing(spark, SF))
+        assert "Expand" in plan
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert plan.count("HashAggregate") >= 2
+
+    def test_cube_lattice_is_consistent(self, spark):
+        """grouping_id partitions the lattice; every level must re-sum to
+        the same grand total, and gid — not NULL-sniffing — identifies the
+        level."""
+        rows = rel.cube_pricing(spark, SF).collect()
+        by_gid = {}
+        for r in rows:
+            by_gid.setdefault(r["gid"], []).append(r)
+        assert set(by_gid) == {0, 1, 2, 3}
+        assert len(by_gid[3]) == 1
+        grand = by_gid[3][0]
+        for gid in (0, 1, 2):
+            assert sum(r["n_items"] for r in by_gid[gid]) == grand["n_items"]
+            assert sum(r["sum_qty"] for r in by_gid[gid]) == grand["sum_qty"]
+        # gid bit semantics: bit0 = linestatus aggregated, bit1 = returnflag
+        for r in by_gid[1]:
+            assert r["l_returnflag"] is not None and r["l_linestatus"] is None
+        for r in by_gid[2]:
+            assert r["l_returnflag"] is None and r["l_linestatus"] is not None
+
     def test_pivot_is_one_aggregate_no_extra_scan(self, spark):
         """Explicit-values pivot: one scan, one partial+final aggregate,
         and NO extra job to discover the pivot values."""
