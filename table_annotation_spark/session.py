@@ -124,6 +124,31 @@ def ckpt(df, eager: bool = False):
     return df.localCheckpoint(eager=eager, storageLevel=level)
 
 
+def free(*dfs) -> int:
+    """Deterministically drop the persisted blocks of localCheckpoint'd
+    frames. Checkpoint blocks are UNEVICTABLE for the life of the context
+    (the r4 bench artifact showed del+gc release does not reliably engage —
+    kg_lookup_fuzzy 53.7 s vs 21.7 s clean), so stage-internal intermediates
+    must be released explicitly once their consumer is materialized. Only
+    call this when every downstream of ``df`` has itself been checkpointed
+    or collected — freed blocks are NOT recomputable (LocalCheckpointRDD
+    raises CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Returns the number of frames
+    whose blocks were dropped; unmaterialized/non-checkpoint frames are
+    skipped silently."""
+    n = 0
+    for df in dfs:
+        if df is None:
+            continue
+        try:
+            lp = df._jdf.queryExecution().logical()
+            if lp.getClass().getSimpleName() == "LogicalRDD":
+                lp.rdd().unpersist(False)
+                n += 1
+        except Exception:
+            pass
+    return n
+
+
 def bcast(df):
     """Size-gated broadcast hint for the engine's small-dim joins.
 

@@ -266,6 +266,94 @@ def extract_cells(src: DataFrame) -> DataFrame:
     )
 
 
+CLEAN_CELL_SCHEMA = StructType(
+    [
+        StructField("table_id", StringType(), False),
+        StructField("content_sha256", StringType(), False),
+        StructField("new_r", IntegerType(), False),
+        StructField("new_c", IntegerType(), False),
+        StructField("cell", StringType(), True),
+        StructField("n_kept_rows", IntegerType(), False),
+        StructField("n_kept_cols", IntegerType(), False),
+        StructField("sample_rank", IntegerType(), True),
+    ]
+)
+
+
+def _extract_clean_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from ..operators.table_analysis import MAX_DECISION_ROWS, clean_grid
+
+    for pdf in batches:
+        out: dict[str, list] = {k.name: [] for k in CLEAN_CELL_SCHEMA.fields}
+        for repo, path, commit, lang, content in zip(
+            pdf["repo"], pdf["path"], pdf["commit"], pdf["lang"], pdf["content"]
+        ):
+            content = content or ""
+            base = "\x1f".join((repo or "", path or "", commit or ""))
+            sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+            grids = parse_content_to_grids(
+                path or "", (lang or "").lower(), content
+            )
+            for k, grid in enumerate(grids):
+                tid = hashlib.sha256(
+                    (base if len(grids) == 1 else f"{base}\x1f{k}").encode()
+                ).hexdigest()
+                g = clean_grid(grid)
+                n_r = len(g)
+                if n_r < 2:  # analyze_table returns None for these
+                    continue
+                n_c = len(g[0])
+                if n_r <= MAX_DECISION_ROWS:
+                    ranks = {i: i for i in range(n_r)}
+                else:
+                    ranks = {i: i for i in range(10)}
+                    rest = sorted(
+                        range(10, n_r),
+                        key=lambda i: hashlib.sha256(
+                            (tid + "\x1f" + "\x1f".join(g[i])).encode("utf-8")
+                        ).hexdigest(),
+                    )
+                    for j, i in enumerate(rest[: MAX_DECISION_ROWS - 10]):
+                        ranks[i] = 10 + j
+                for ri, row in enumerate(g):
+                    sr = ranks.get(ri)
+                    for ci, cell in enumerate(row):
+                        out["table_id"].append(tid)
+                        out["content_sha256"].append(sha)
+                        out["new_r"].append(ri)
+                        out["new_c"].append(ci)
+                        out["cell"].append(cell)
+                        out["n_kept_rows"].append(n_r)
+                        out["n_kept_cols"].append(n_c)
+                        out["sample_rank"].append(sr)
+        yield pd.DataFrame(out)
+
+
+def extract_cells_clean(src: DataFrame) -> DataFrame:
+    """Fused extract + P1-P4 clean + P6 decision-sample marking, one Python
+    pass per document (file_loader.py + table_preprocessing.py:29-55 in a
+    single scan).
+
+    The grid is already resident in Python at parse time, so cleaning
+    (encoding fix, empty-row/col drop, pad, re-index) and the deterministic
+    decision sample (first 10 + lowest-sha256 390 rows) cost no extra
+    shuffles — at 100 TB this eliminates four cell-scale exchanges that the
+    relational twin in ``preprocess_cells`` needs when starting from an
+    already-extracted cell frame. Output coordinates are the CLEANED dense
+    grid (pre-transpose); tables whose cleaned grid has <2 rows are dropped
+    exactly like ``analyze_table``. Parity with the relational path is
+    pinned by TestPrepParity.
+
+    Boundary: one document's table must fit a Python worker (same bound as
+    ``extract_cells``); the decision pass downstream only ever reads the
+    ≤400 sampled rows per table."""
+    return src.select("repo", "path", "commit", "lang", "content").mapInPandas(
+        _extract_clean_batches, schema=CLEAN_CELL_SCHEMA
+    )
+
+
 def extract_manifest(src: DataFrame) -> DataFrame:
     """One row per source row — kind=table|skipped, with content_sha256.
 

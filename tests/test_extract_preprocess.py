@@ -143,3 +143,117 @@ class TestPreprocessStage:
         assert {r["cell"] for r in rows if r["row_idx"] == 0 and r["col_idx"] == 0} == {
             "Pulp Fiction"
         }
+
+
+class TestPrepParity:
+    """The relational preprocess (Spark P1-P4/P6 + sample-only decision UDF)
+    must be an EXACT twin of the reference-shaped per-table Python pass
+    (`_prep_one_table`) — every PREP_SCHEMA column, every table."""
+
+    def test_relational_equals_pertable(self, spark, src_df):
+        from table_annotation_spark.operators.preprocessing import (
+            PREP_SCHEMA,
+            _prep_one_table,
+            fix_encoding,
+            type_cells,
+        )
+
+        cells = extract_cells(src_df)
+        new = preprocess_cells(cells)
+        typed = type_cells(fix_encoding(cells))
+        old = typed.groupBy("table_id").applyInPandas(
+            _prep_one_table, schema=PREP_SCHEMA
+        )
+        cols = [f.name for f in PREP_SCHEMA.fields]
+        key = ["table_id", "row_idx", "col_idx"]
+        a = sorted(new.select(*cols).collect(), key=lambda r: tuple(r[k] for k in key))
+        b = sorted(old.select(*cols).collect(), key=lambda r: tuple(r[k] for k in key))
+        assert len(a) == len(b) and len(a) > 0
+        for ra, rb in zip(a, b):
+            assert ra.asDict() == rb.asDict(), (ra, rb)
+
+    def test_fused_equals_relational(self, spark, src_df):
+        """extract_cells_clean + preprocess_clean_cells (the zero-shuffle hot
+        path) must emit the identical PREP_SCHEMA frame as the relational
+        path over extract_cells."""
+        from table_annotation_spark.operators.preprocessing import (
+            PREP_SCHEMA,
+            preprocess_clean_cells,
+        )
+        from table_annotation_spark.sources.embedded_tables import (
+            extract_cells_clean,
+        )
+
+        fused = preprocess_clean_cells(extract_cells_clean(src_df))
+        rel = preprocess_cells(extract_cells(src_df))
+        cols = [f.name for f in PREP_SCHEMA.fields]
+        key = ["table_id", "row_idx", "col_idx"]
+        a = sorted(fused.select(*cols).collect(), key=lambda r: tuple(r[k] for k in key))
+        b = sorted(rel.select(*cols).collect(), key=lambda r: tuple(r[k] for k in key))
+        assert len(a) == len(b) and len(a) > 0
+        for ra, rb in zip(a, b):
+            assert ra.asDict() == rb.asDict(), (ra, rb)
+
+    def test_big_table_sampling_parity(self, spark):
+        """>400-row table: the decision sample (first 10 + lowest-hash 390)
+        must agree between the window-based and the in-Python sampler."""
+        import pandas as pd
+
+        from table_annotation_spark.operators.preprocessing import (
+            PREP_SCHEMA,
+            _prep_one_table,
+            fix_encoding,
+            type_cells,
+        )
+
+        rows = []
+        for i in range(450):
+            rows.append(("bigtid", "sha" * 8, i, 0, f"Name {i}" if i else "name"))
+            rows.append(("bigtid", "sha" * 8, i, 1, f"{i * 3}" if i else "count"))
+        cells = spark.createDataFrame(
+            rows, "table_id string, content_sha256 string, row_idx int, col_idx int, cell string"
+        )
+        new = preprocess_cells(cells)
+        typed = type_cells(fix_encoding(cells))
+        old = typed.groupBy("table_id").applyInPandas(
+            _prep_one_table, schema=PREP_SCHEMA
+        )
+        cols = [f.name for f in PREP_SCHEMA.fields]
+        key = ["table_id", "row_idx", "col_idx"]
+        a = sorted(new.select(*cols).collect(), key=lambda r: tuple(r[k] for k in key))
+        b = sorted(old.select(*cols).collect(), key=lambda r: tuple(r[k] for k in key))
+        assert len(a) == len(b) == 900
+        for ra, rb in zip(a, b):
+            assert ra.asDict() == rb.asDict(), (ra, rb)
+
+    def test_big_table_fused_parity(self, spark):
+        """Fused parse-time sampler ≡ per-table Python sampler on a >400-row
+        document (hash ladder + stable tie order must agree bit-for-bit)."""
+        from table_annotation_spark.operators.preprocessing import (
+            PREP_SCHEMA,
+            _prep_one_table,
+            fix_encoding,
+            preprocess_clean_cells,
+            type_cells,
+        )
+        from table_annotation_spark.sources.embedded_tables import (
+            extract_cells_clean,
+        )
+
+        csv = "name,count\n" + "\n".join(f"Name {i},{i * 3}" for i in range(1, 450))
+        src = spark.createDataFrame(
+            [("big/repo", "data/big.csv", "9" * 40, "csv", csv)],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        fused = preprocess_clean_cells(extract_cells_clean(src))
+        typed = type_cells(fix_encoding(extract_cells(src)))
+        old = typed.groupBy("table_id").applyInPandas(
+            _prep_one_table, schema=PREP_SCHEMA
+        )
+        cols = [f.name for f in PREP_SCHEMA.fields]
+        key = ["table_id", "row_idx", "col_idx"]
+        a = sorted(fused.select(*cols).collect(), key=lambda r: tuple(r[k] for k in key))
+        b = sorted(old.select(*cols).collect(), key=lambda r: tuple(r[k] for k in key))
+        assert len(a) == len(b) == 900
+        for ra, rb in zip(a, b):
+            assert ra.asDict() == rb.asDict(), (ra, rb)
