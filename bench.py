@@ -48,7 +48,7 @@ HEADLINE = [
     "sess_funnel",
     "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_lsh_verified",
     "dedup_simhash", "dedup_substring", "sim_ann_bruteforce", "sim_ann_lsh",
-    "sim_kmeans_assign",
+    "sim_ann_ivf", "sim_kmeans_assign",
     "kg_lookup_fuzzy", "kg_typing_ner", "multimodal_features",
     "multimodal_decode_real", "kg_canon_conflict",
 ]

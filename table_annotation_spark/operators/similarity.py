@@ -396,3 +396,141 @@ KMEANS_TRAIN_SQL = _kmeans_train_sql()
 
 ORACLES["sim_kmeans_train"] = KMEANS_TRAIN_SQL
 QUERIES["sim_kmeans_train"] = kmeans_train
+
+
+# ---------------------------------------------------------------------------
+# IVF two-stage ANN search over the coarse quantizer
+# ---------------------------------------------------------------------------
+
+IVF_NPROBE = 2       # lists probed per query
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search — the scale path the kmeans training loop exists for:
+    coarse quantizer = per-label mean centroids (one M step, the same
+    deterministic seed as `kmeans_assign`); inverted lists = every corpus
+    vector assigned to its nearest centroid; each query probes its
+    IVF_NPROBE nearest lists and re-ranks EXACT cosine within those lists
+    only.
+
+    Scale posture: centroids are k×dim (tiny — broadcast); building the
+    inverted lists is one corpus scan (broadcast-NLJ × k, min-struct
+    argmin, embedding never shuffled — same plan as kmeans_assign); the
+    probe join is broadcast(queries × nprobe) against the lists, so the
+    corpus is never self-joined and candidates are bounded by the probed
+    lists' sizes. Faiss IVF-Flat semantics re-expressed as DataFrame ops."""
+    e = _emb(spark, sf_dir)
+    cent = F.broadcast(
+        e.groupBy(F.col("label").cast("bigint").alias("clabel")).agg(
+            F.array(
+                *[
+                    F.round(F.avg(F.col("embedding")[i]), KMEANS_CENT_ROUND)
+                    for i in range(KMEANS_DIM)
+                ]
+            ).alias("cvec")
+        )
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "cvec",
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        KMEANS_ROUND,
+    )
+    scored = e.crossJoin(cent).select(
+        "vec_id", "embedding", "clabel", dist.alias("dist")
+    )
+    inv = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "clabel")).alias("m"),
+            F.first("embedding").alias("c_emb"),
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("m.clabel").alias("list_id"),
+            "c_emb",
+        )
+    )
+    wq = Window.partitionBy("vec_id").orderBy("dist", "clabel")
+    probes = (
+        scored.where(F.col("vec_id") < N_QUERIES)
+        .withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("clabel").alias("list_id"),
+        )
+    )
+    j = (
+        F.broadcast(probes)
+        .join(inv, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", _cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH pos AS (
+  SELECT vec_id, label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), cent AS (
+  SELECT clabel, array_agg(cx ORDER BY i) AS cvec FROM (
+    SELECT label AS clabel, i, round(avg(x), {KMEANS_CENT_ROUND}) AS cx
+    FROM pos GROUP BY label, i
+  ) GROUP BY clabel
+), d AS (
+  SELECT e.vec_id, e.embedding, c.clabel,
+         round(list_distance(e.embedding::DOUBLE[], c.cvec::DOUBLE[]),
+               {KMEANS_ROUND}) AS dist
+  FROM embeddings e CROSS JOIN cent c
+), inv AS (
+  SELECT vec_id AS neighbor_id, clabel AS list_id, embedding AS c_emb FROM (
+    SELECT vec_id, clabel, embedding,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rk
+    FROM d
+  ) WHERE rk = 1
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, clabel AS list_id FROM (
+    SELECT vec_id, embedding, clabel,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rk
+    FROM d WHERE vec_id < {N_QUERIES}
+  ) WHERE rk <= {IVF_NPROBE}
+), j AS (
+  SELECT p.query_id, i.neighbor_id,
+         list_cosine_similarity(p.q_emb::DOUBLE[], i.c_emb::DOUBLE[]) AS cos
+  FROM probes p JOIN inv i USING (list_id)
+  WHERE p.query_id != i.neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM j
+)
+SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+       neighbor_id::BIGINT AS neighbor_id
+FROM r WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+ORACLES["sim_ann_ivf"] = ANN_IVF_SQL
+QUERIES["sim_ann_ivf"] = ann_ivf_topk

@@ -396,6 +396,18 @@ class TestKmeansAssign:
         # top of the centroid agg's own pair
         assert plan.count("HashAggregate") >= 4
 
+    def test_ivf_probe_plan(self, spark):
+        """IVF search: inverted-list build = broadcast-NLJ x k + min-struct
+        argmin (no full-corpus Window); the probe join must BROADCAST the
+        (queries x nprobe) side — the corpus is never self-joined."""
+        from table_annotation_spark.operators import similarity as sim
+
+        plan = plan_of(sim.ann_ivf_topk(spark, SF))
+        assert "BroadcastNestedLoopJoin" in plan
+        # exactly one Window: the final per-query top-k re-rank (plus the
+        # tiny nprobe rank over queries x k) — never over corpus embeddings
+        assert plan.count("SortMergeJoin") == 0
+
     def test_assignment_conserves_vectors(self, spark):
         from table_annotation_spark.operators import similarity as sim
 
