@@ -214,7 +214,8 @@ def _compact_summary(out: dict, detail_path: str | None) -> dict:
             for k in legs
         }
         for k in (
-            "scaling_geometry", "scaling_replicate", "scaling_speedup",
+            "scaling_geometry", "scaling_replicate", "scaling_warmup_sec",
+            "scaling_speedup",
             "scaling_efficiency", "scaling_speedup_min_pair",
             "scaling_efficiency_min_pair", "machine_cpu_ceiling_speedup",
             "ceiling_normalized_efficiency",
@@ -518,6 +519,16 @@ def scaling_report(
     confs: dict[int, dict] = {}
     leg_detail: dict[int, list[dict]] = {execs_lo: [], execs_hi: []}
     triples_rep = None
+    # Warm-up leg, DISCARDED from every estimator: within one bench process
+    # the legs share a JVM, and the very first flagship run pays one-time
+    # JIT/codegen + page-cache costs that later legs never see (measured
+    # 940 s cold vs 391 s for the identical run immediately after — the
+    # whole gap in the annotate stage). The interleaved order lo,hi,...
+    # would otherwise charge that cold start entirely to the LO leg and
+    # inflate the speedup. The warm-up time is recorded for transparency.
+    warmup_sec = None
+    if os.environ.get("SPARK_GRAFT_SCALE_WARMUP", "1") != "0":
+        warmup_sec = leg(execs_hi)["sec"]
     for _ in range(reps):
         for execs in (execs_lo, execs_hi):
             r = leg(execs)
@@ -565,11 +576,13 @@ def scaling_report(
         "scaling_geometry": f"{execs_lo} vs {execs_hi} executors x {exec_cores} cores"
         + (" (separate JVMs)" if use_lc else " (thread proxy, one JVM)")
         + f", {reps} interleaved replicates per size, median reported"
+        + (", one discarded warm-up leg first" if warmup_sec is not None else "")
         + (f", {shards} concurrent table shards per leg (same shard plan "
            "both sizes; per-shard triples identical across legs)"
            if shards > 1 else ""),
         "scaling_shards": shards,
         "scaling_replicate": replicate,
+        "scaling_warmup_sec": warmup_sec,
         "scaling_speedup": speedup,
         "scaling_efficiency": round(speedup / factor, 3),
         "scaling_speedup_min_pair": speedup_min,
