@@ -732,3 +732,190 @@ FROM b GROUP BY lang, shard, bin ORDER BY lang, shard, bin
 
 ORACLES["text_seq_pack"] = SEQ_PACK_SQL
 QUERIES["text_seq_pack"] = seq_pack
+
+
+# ---------------------------------------------------------------------------
+# Corpus-global TF-IDF keyword extraction (top-terms per document)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the corpus-global-statistic shape:
+    a document-local aggregate (term frequency) joined against a corpus-wide
+    aggregate (document frequency + doc count) computed in the same plan.
+
+    100 TB posture: two map-side-combinable shuffles (tf on (doc_id, token),
+    df on token), one join on token (vocabulary-sized right side — orders of
+    magnitude smaller than the corpus; AQE picks broadcast vs shuffle at
+    runtime), and a per-doc window bounded by the document's own vocabulary.
+    The doc count rides in as a broadcast 1-row cross join — no driver
+    action, no collect.
+
+    Cross-engine FP discipline (kmeans precedent, similarity.py): the score
+    is rounded to 9 decimals BEFORE ranking so IEEE ln() noise (~1e-15
+    relative) can never flip the row_number between Spark and DuckDB; ties
+    break on token ASC in both engines."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).where(F.trim("text") != "")
+    toks = d.select("doc_id", F.explode(_tok_expr()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    # tf is unique per (doc_id, token): count(*) over it IS the doc frequency
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "rk",
+            "token",
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
+TFIDF_TOPTERMS_SQL = """
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id, lower(trim(text)) AS t
+  FROM documents WHERE trim(text) <> ''
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(t, '\\s+')) AS token FROM d
+), tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token
+), n AS (
+  SELECT count(*)::BIGINT AS n_docs FROM d
+), s AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * ln(n.n_docs::DOUBLE / dfreq.df), 9) AS score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+), rk AS (
+  SELECT doc_id, token, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token ASC)::BIGINT AS rk
+  FROM s
+)
+SELECT doc_id, rk, token, round(score, 6) AS score
+FROM rk WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+ORACLES["text_tfidf_topterms"] = TFIDF_TOPTERMS_SQL
+QUERIES["text_tfidf_topterms"] = tfidf_topterms
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (web-crawl ingestion)
+# ---------------------------------------------------------------------------
+
+# The corpus carries no URL column, so each doc synthesizes one
+# DETERMINISTICALLY from (doc_id, source) — same formula in the oracle, the
+# pii_redact precedent — with the real-world noise a crawler sees: host case
+# variants, tracking query params, fragments, trailing slashes. Path slot
+# (doc_id // 20) % 8 guarantees non-degenerate duplicate groups at every SF
+# (sources stripe doc_id % 20, so ~25 docs/source fold into 8 slots).
+_URL_TRACKING_RE = r"(utm_[a-z_]+|ref|fbclid)=[^&#]*&?"
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize noisy URLs (strip fragment, drop tracking params,
+    case-fold, strip trailing slash) and dedup: one representative doc
+    (min doc_id) per canonical URL, with duplicate-group size and the count
+    of distinct raw variants that folded in.
+
+    100 TB posture: pure JVM string expressions + ONE groupBy on the
+    canonical URL (map-side combinable min/count) — the same shape as exact
+    dedup; no window, no join."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    host = F.concat(
+        F.when(did % 5 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".example.org"),
+    )
+    slot = (F.floor(did / 20) % 8).cast("string")
+    raw = F.concat(
+        F.lit("https://"), host, F.lit("/articles/"), slot,
+        F.when(did % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 3 == 0,
+               F.concat(F.lit("?utm_source=feed&ref="), did.cast("string"))
+               ).otherwise(F.lit("")),
+        F.when(did % 2 == 0,
+               F.concat(F.lit("#section-"), (did % 4).cast("string"))
+               ).otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(                      # 4. strip trailing slash
+        F.lower(                                   # 3. case-fold (host case)
+            F.regexp_replace(                      # 2b. drop dangling ?/&
+                F.regexp_replace(                  # 2a. drop tracking params
+                    F.regexp_replace(raw, r"#.*$", ""),  # 1. strip fragment
+                    _URL_TRACKING_RE, "",
+                ),
+                r"[?&]$", "",
+            )
+        ),
+        r"/$", "",
+    )
+    return (
+        d.select(did.cast("bigint").alias("doc_id"), raw.alias("raw_url"),
+                 canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.countDistinct("raw_url").cast("bigint").alias("n_raw_variants"),
+        )
+        .orderBy("canon_url")
+    )
+
+
+URL_CANONICAL_SQL = """
+WITH u AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         'https://'
+         || CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END
+         || '.example.org/articles/' || ((doc_id // 20) % 8)::VARCHAR
+         || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '?utm_source=feed&ref=' || doc_id::VARCHAR
+                 ELSE '' END
+         || CASE WHEN doc_id % 2 = 0
+                 THEN '#section-' || (doc_id % 4)::VARCHAR
+                 ELSE '' END AS raw_url
+  FROM documents
+), c AS (
+  SELECT doc_id, raw_url,
+         regexp_replace(
+           lower(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw_url, '#.*$', ''),
+                 '(utm_[a-z_]+|ref|fbclid)=[^&#]*&?', '', 'g'),
+               '[?&]$', '')),
+           '/$', '') AS canon_url
+  FROM u
+)
+SELECT canon_url,
+       count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS keep_doc_id,
+       count(DISTINCT raw_url)::BIGINT AS n_raw_variants
+FROM c GROUP BY canon_url ORDER BY canon_url
+"""
+
+ORACLES["text_url_canonical"] = URL_CANONICAL_SQL
+QUERIES["text_url_canonical"] = url_canonical_dedup

@@ -306,3 +306,40 @@ class TestSeqPack:
             ):
                 assert cum >= b * PACK_BUDGET
                 cum += tok
+
+
+class TestTfidfTopterms:
+    def test_oracle_hash_equal_and_ranked(self, spark, ducks):
+        rows, cols = _both(spark, ducks, "text_tfidf_topterms")
+        i = {c: k for k, c in enumerate(cols)}
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r[i["doc_id"]], []).append(r)
+        for doc, rs in by_doc.items():
+            rs.sort(key=lambda r: r[i["rk"]])
+            assert [r[i["rk"]] for r in rs] == list(range(1, len(rs) + 1))
+            assert len(rs) <= 3
+            scores = [r[i["score"]] for r in rs]
+            assert scores == sorted(scores, reverse=True) or any(
+                # equal rounded scores tie-break on token asc
+                scores[k] == scores[k + 1] for k in range(len(scores) - 1)
+            )
+        # IDF discriminates: the top term is never a corpus-universal token
+        # with score 0 unless the whole doc is universal vocabulary
+        assert any(r[i["score"]] > 0 for r in rows)
+
+
+class TestUrlCanonical:
+    def test_oracle_hash_equal_and_folded(self, spark, ducks):
+        rows, cols = _both(spark, ducks, "text_url_canonical")
+        i = {c: k for k, c in enumerate(cols)}
+        assert sum(r[i["n_docs"]] for r in rows) == 500  # every doc lands once
+        # canonicalization actually folds noisy variants
+        assert any(r[i["n_docs"]] > 1 for r in rows)
+        assert any(r[i["n_raw_variants"]] > 1 for r in rows)
+        for r in rows:
+            u = r[i["canon_url"]]
+            assert u == u.lower()
+            assert "#" not in u and "utm_" not in u and "ref=" not in u
+            assert not u.endswith("/")
+            assert r[i["keep_doc_id"]] >= 0
