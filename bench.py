@@ -41,14 +41,16 @@ HEADLINE = [
     "rel_twohop_selfjoin", "rel_band_selfjoin", "rel_events_window",
     "rel_asof_join", "rel_rollup_pricing", "rel_pivot_orders",
     "rel_anti_join", "rel_semi_join", "rel_distinct_agg",
+    "rel_cube_pricing",
     "text_token_count", "text_quality_score", "text_lang_id",
     "text_repetition_filter", "text_pii_redact",
     "text_stratified_sample", "text_token_hist", "text_token_percentiles",
-    "text_decontaminate", "text_seq_pack",
+    "text_decontaminate", "text_seq_pack", "text_tfidf_topterms",
+    "text_url_canonical",
     "sess_funnel",
     "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_lsh_verified",
     "dedup_simhash", "dedup_substring", "sim_ann_bruteforce", "sim_ann_lsh",
-    "sim_ann_ivf", "sim_kmeans_assign",
+    "sim_ann_ivf", "sim_kmeans_assign", "sim_kmeans_train",
     "kg_lookup_fuzzy", "kg_typing_ner", "multimodal_features",
     "multimodal_decode_real", "kg_canon_conflict",
 ]

@@ -919,3 +919,71 @@ FROM c GROUP BY canon_url ORDER BY canon_url
 
 ORACLES["text_url_canonical"] = URL_CANONICAL_SQL
 QUERIES["text_url_canonical"] = url_canonical_dedup
+
+
+# ---------------------------------------------------------------------------
+# Overlapping document chunking (context-window prep for training / RAG)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64   # tokens per chunk
+CHUNK_STRIDE = 48   # chunk start step → 16-token overlap between neighbors
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    the context-window chunking step every embedding / RAG / training
+    pipeline runs before encoding. Chunks start every CHUNK_STRIDE tokens
+    and span CHUNK_TOKENS (the final chunk may be short); stride < size
+    guarantees every token lands in at least one chunk.
+
+    Output carries the chunk's md5 instead of its text so the driver's
+    value-hash gate pins the exact chunk CONTENT cross-engine without
+    shipping the corpus back out.
+
+    100 TB posture: one narrow projection + a generator explode
+    (sequence over chunk starts) + per-row slice/hash — NO shuffle at all
+    until the output sort; each input row fans out to ceil(n/stride)
+    rows inside its own partition. Python never sees a token."""
+    d = _docs(spark, sf_dir).where(F.trim("text") != "")
+    toks = _tok_expr()
+    base = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        toks.alias("toks"),
+    )
+    s = F.col("s")
+    chunk = F.slice(F.col("toks"), s, CHUNK_TOKENS)
+    return (
+        base.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_STRIDE))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            ((s - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.size(chunk).cast("bigint").alias("chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+CHUNK_SQL = f"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT doc_id,
+       ((s - 1) // {CHUNK_STRIDE})::BIGINT AS chunk_id,
+       len(list_slice(toks, s, s + {CHUNK_TOKENS - 1}))::BIGINT AS chunk_tokens,
+       md5(array_to_string(list_slice(toks, s, s + {CHUNK_TOKENS - 1}), ' '))
+         AS chunk_md5
+FROM d, unnest(generate_series(1, len(toks), {CHUNK_STRIDE})) AS t(s)
+ORDER BY doc_id, chunk_id
+"""
+
+ORACLES["text_chunk"] = CHUNK_SQL
+QUERIES["text_chunk"] = chunk_documents

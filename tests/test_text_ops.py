@@ -329,6 +329,42 @@ class TestTfidfTopterms:
         assert any(r[i["score"]] > 0 for r in rows)
 
 
+class TestChunkDocuments:
+    def test_oracle_hash_equal_and_coverage(self, spark, ducks):
+        from table_annotation_spark.operators.text import (
+            CHUNK_STRIDE,
+            CHUNK_TOKENS,
+        )
+
+        rows, cols = _both(spark, ducks, "text_chunk")
+        i = {c: k for k, c in enumerate(cols)}
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r[i["doc_id"]], []).append(r)
+        # independent per-doc token counts (DuckDB, same tokenizer)
+        n_toks = dict(
+            duckdb.sql(
+                f"SELECT doc_id::BIGINT, len(regexp_split_to_array("
+                f"lower(trim(text)), '\\s+'))::BIGINT "
+                f"FROM '{SF_DIR}/documents.parquet' WHERE trim(text) <> ''"
+            ).fetchall()
+        )
+        assert set(by_doc) == set(n_toks)
+        for doc, rs in by_doc.items():
+            rs.sort(key=lambda r: r[i["chunk_id"]])
+            n = n_toks[doc]
+            # chunk ids contiguous from 0; count = floor((n-1)/stride)+1
+            assert [r[i["chunk_id"]] for r in rs] == list(
+                range((n - 1) // CHUNK_STRIDE + 1)
+            )
+            # stride < size → last chunk reaches the final token exactly
+            last_start = rs[-1][i["chunk_id"]] * CHUNK_STRIDE + 1
+            assert last_start + rs[-1][i["chunk_tokens"]] - 1 == n
+            assert all(
+                0 < r[i["chunk_tokens"]] <= CHUNK_TOKENS for r in rs
+            )
+
+
 class TestUrlCanonical:
     def test_oracle_hash_equal_and_folded(self, spark, ducks):
         rows, cols = _both(spark, ducks, "text_url_canonical")
