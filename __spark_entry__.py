@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 
 from table_annotation_spark.operators import dedup as _dedup
+from table_annotation_spark.operators import graph as _graph
 from table_annotation_spark.operators import kg_queries as _kg
 from table_annotation_spark.operators import multimodal as _mm
 from table_annotation_spark.operators import relational as _rel
@@ -43,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_rel.QUERIES)
     q.update(_text.QUERIES)
     q.update(_dedup.QUERIES)
+    q.update(_graph.QUERIES)
     q.update(_sim.QUERIES)
     q.update(_kg.QUERIES)
     q.update(_sess.QUERIES)
@@ -55,6 +57,7 @@ def oracle_sql() -> dict[str, str]:
     o.update(_rel.ORACLES)
     o.update(_text.ORACLES)
     o.update(_dedup.ORACLES)
+    o.update(_graph.ORACLES)
     o.update(_sim.ORACLES)
     o.update(_kg.ORACLES)
     o.update(_sess.ORACLES)

@@ -987,3 +987,106 @@ ORDER BY doc_id, chunk_id
 
 ORACLES["text_chunk"] = CHUNK_SQL
 QUERIES["text_chunk"] = chunk_documents
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality filter (CCNet-style perplexity gate)
+# ---------------------------------------------------------------------------
+
+# CCNet (Wenzek et al. 2020) filters a crawl by the perplexity of a language
+# model trained on a clean reference corpus. Same shape here with a unigram
+# LM: train token counts on the in-domain slice (lang='en'), score EVERY doc
+# by its mean negative log-likelihood under additive smoothing, and gate on
+# a fixed threshold. Reference scope: the repo's quality filters are ratio
+# heuristics (SURVEY §2 text ops) — this is the LM-based upgrade a training
+# pipeline runs right after them.
+LM_ALPHA = "0.5"   # additive-smoothing mass (exact decimal in both engines)
+LM_NLL_KEEP = 6.0  # keep docs whose mean NLL is below this
+
+
+def lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean negative log-likelihood under a corpus-trained unigram
+    LM + keep/discard verdict.
+
+    100 TB posture: the LM is ONE map-side-combinable groupBy over the
+    training slice's tokens; the vocabulary is orders of magnitude smaller
+    than the corpus, so the score join is vocabulary-sized on the right
+    (AQE broadcasts it). Scoring is one corpus scan: explode → left join
+    vocab → per-doc avg (map-side combinable). The two scalar totals ride
+    in as a broadcast 1-row cross join — no collect, no driver loop.
+
+    Cross-engine FP discipline (tfidf precedent): each token's ln() is
+    rounded to 9 decimals before averaging so libm last-ulp noise can't
+    accumulate; the mean is re-rounded to 9 before the threshold compare so
+    the verdict flips identically in both engines."""
+    d = _docs(spark, sf_dir).where(F.trim("text") != "")
+    toks = d.select("doc_id", "lang", F.explode(_tok_expr()).alias("token"))
+    lm = (
+        toks.where(F.col("lang") == "en")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    totals = lm.agg(
+        F.sum("c").cast("bigint").alias("lm_total"),
+        F.count(F.lit(1)).cast("bigint").alias("lm_vocab"),
+    )
+    alpha = F.expr(LM_ALPHA)
+    # smoothed p(token) = (c + alpha) / (total + alpha * (vocab + 1));
+    # unseen tokens take c = 0 (the +1 vocab slot is the OOV bucket)
+    p = (F.coalesce(F.col("c"), F.lit(0)).cast("double") + alpha) / (
+        F.col("lm_total").cast("double")
+        + alpha * (F.col("lm_vocab").cast("double") + 1.0)
+    )
+    nll_tok = F.round(-F.log(p), 9)
+    per_doc = (
+        toks.join(lm, "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(nll_tok), 9).alias("nll9"),
+        )
+    )
+    return per_doc.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        "n_tokens",
+        F.round("nll9", 6).alias("mean_nll"),
+        F.when(F.col("nll9") < F.lit(LM_NLL_KEEP), F.lit("keep"))
+        .otherwise(F.lit("discard"))
+        .alias("verdict"),
+    ).orderBy("doc_id")
+
+
+LM_LOGPROB_SQL = f"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id, lang, lower(trim(text)) AS t
+  FROM documents WHERE trim(text) <> ''
+), toks AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(t, '\\s+')) AS token
+  FROM d
+), lm AS (
+  SELECT token, count(*)::BIGINT AS c FROM toks WHERE lang = 'en'
+  GROUP BY token
+), totals AS (
+  SELECT sum(c)::BIGINT AS lm_total, count(*)::BIGINT AS lm_vocab FROM lm
+), scored AS (
+  SELECT toks.doc_id, toks.lang,
+         round(-ln((coalesce(lm.c, 0)::DOUBLE + {LM_ALPHA}) /
+                   (totals.lm_total::DOUBLE
+                    + {LM_ALPHA} * (totals.lm_vocab::DOUBLE + 1.0))), 9)
+           AS nll_tok
+  FROM toks LEFT JOIN lm USING (token) CROSS JOIN totals
+), per_doc AS (
+  SELECT doc_id, lang, count(*)::BIGINT AS n_tokens,
+         round(avg(nll_tok), 9) AS nll9
+  FROM scored GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_tokens, round(nll9, 6) AS mean_nll,
+       CASE WHEN nll9 < {LM_NLL_KEEP} THEN 'keep' ELSE 'discard' END
+         AS verdict
+FROM per_doc ORDER BY doc_id
+"""
+
+ORACLES["text_lm_logprob"] = LM_LOGPROB_SQL
+QUERIES["text_lm_logprob"] = lm_logprob
