@@ -46,8 +46,8 @@ HEADLINE = [
     "text_repetition_filter", "text_pii_redact",
     "text_stratified_sample", "text_token_hist", "text_token_percentiles",
     "text_decontaminate", "text_seq_pack", "text_tfidf_topterms",
-    "text_url_canonical", "text_chunk",
-    "sess_funnel",
+    "text_url_canonical", "text_chunk", "text_lm_logprob",
+    "sess_funnel", "graph_pagerank",
     "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_lsh_verified",
     "dedup_simhash", "dedup_substring", "sim_ann_bruteforce", "sim_ann_lsh",
     "sim_ann_ivf", "sim_kmeans_assign", "sim_kmeans_train",

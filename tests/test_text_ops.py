@@ -379,3 +379,65 @@ class TestUrlCanonical:
             assert "#" not in u and "utm_" not in u and "ref=" not in u
             assert not u.endswith("/")
             assert r[i["keep_doc_id"]] >= 0
+
+
+class TestLmLogprob:
+    def test_oracle_hash_equal_and_gate(self, spark, ducks):
+        rows, cols = _both(spark, ducks, "text_lm_logprob")
+        from table_annotation_spark.operators.text import LM_NLL_KEEP
+
+        i = {c: k for k, c in enumerate(cols)}
+        assert len(rows) > 0
+        for r in rows:
+            assert r[i["n_tokens"]] >= 1
+            assert r[i["mean_nll"]] > 0
+            want = "keep" if r[i["mean_nll"]] < LM_NLL_KEEP else "discard"
+            # mean_nll is round-6 of the round-9 gate value; only a value
+            # inside 5e-7 of the threshold could disagree — assert equality
+            # away from that band
+            if abs(r[i["mean_nll"]] - LM_NLL_KEEP) > 1e-6:
+                assert r[i["verdict"]] == want
+        # the LM is trained on the 'en' slice: in-domain docs must score
+        # strictly better (lower NLL) on average than out-of-domain ones
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r[i["lang"]], []).append(r[i["mean_nll"]])
+        en = sum(by_lang["en"]) / len(by_lang["en"])
+        others = [
+            sum(v) / len(v) for k, v in by_lang.items() if k != "en"
+        ]
+        assert others and all(en < o for o in others)
+
+
+class TestPageRank:
+    def _both_graph(self, spark, ducks):
+        from table_annotation_spark.operators import graph as g
+
+        sdf = g.QUERIES["graph_pagerank"](spark, SF_DIR)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        orows = ducks.execute(g.ORACLES["graph_pagerank"]).fetchall()
+        ocols = [d[0] for d in ducks.description]
+        assert sorted(scols) == sorted(ocols)
+        assert len(srows) == len(orows)
+        assert _value_hash(srows, scols) == _value_hash(orows, ocols)
+        return srows, scols
+
+    def test_oracle_hash_equal_and_hubs_win(self, spark, ducks):
+        rows, cols = self._both_graph(spark, ducks)
+        from table_annotation_spark.operators.graph import PR_TOPK
+
+        i = {c: k for k, c in enumerate(cols)}
+        assert len(rows) == PR_TOPK
+        ranks = sorted((r[i["pagerank"]] for r in rows), reverse=True)
+        n_docs = duckdb.execute(
+            f"SELECT count(*) FROM '{SF_DIR}/documents.parquet'"
+        ).fetchone()[0]
+        uniform = 1.0 / n_docs
+        # the u//2 tree map concentrates mass at low ids: every top-k node
+        # must beat the uniform rank, and node 0 (the tree root, plus the
+        # quadratic map's image of u=0) must be in the top-k
+        assert all(r > uniform for r in ranks)
+        assert any(r[i["node"]] == 0 for r in rows)
+        # probability mass sanity: top-k sum below 1, above k*uniform
+        assert PR_TOPK * uniform < sum(ranks) < 1.0
