@@ -96,8 +96,15 @@ def _indel_distance_refdp(a: str, b: str) -> int:
     return la + lb - 2 * lcs
 
 
+@lru_cache(maxsize=1 << 17)
 def ratio(a: str, b: str) -> float:
-    """Normalized indel similarity in [0,1] (rapidfuzz.fuzz.ratio/100)."""
+    """Normalized indel similarity in [0,1] (rapidfuzz.fuzz.ratio/100).
+
+    Memoized: one scored pair evaluates the SAME (a, b) ratio up to three
+    times — directly, via ``token_sort_ratio`` (identity for single-token
+    strings, the dominant lookup shape), and via ``token_set_ratio``'s
+    disjoint-set branch (sa=a, sb=b) — so the cache removes 2 of 3 identical
+    bit-parallel DPs per pair without touching any value."""
     total = len(a) + len(b)
     if total == 0:
         return 1.0
@@ -305,6 +312,37 @@ def lookup_fuzzy_pexact(mention: str, label: str, min_fuzzy: float = 0.70):
         # ratio/token_sort are 0 vs non-empty; token_set gate needs both
         return (1.0, True) if lm == ll_ else (0.0, False)
     participate = 0.5 < lm / ll_ < 2.0
+
+    if " " not in m and " " not in l:
+        # single-token fast path (the dominant lookup shape: normalized
+        # single-space inputs, so no-space ⇔ one token). For one-token
+        # unequal strings token_sort_ratio == ratio and token_set_ratio ==
+        # ratio (empty intersection ⇒ set algebra degenerates to
+        # ratio(m, l)), and the token-count difference is 0 — every value
+        # below is EXACTLY the general path's, with all split/set/join
+        # machinery skipped.
+        c = _common_chars(m, l)
+        ub = 2.0 * c / (lm + ll_)
+        lmin = lm if lm < ll_ else ll_
+        # ratio ≤ ub (LCS ≤ multiset intersection), so when participate the
+        # general path's fuzzy_ub = max(ub, (ub+tset)/2) with tset = ratio
+        # collapses to ub, and its tset > 0.9 bypass implies ub > 0.9 —
+        # unreachable below the floor; both branches reduce to the ub test.
+        if ub < min_fuzzy:
+            pex = False
+            if min(c, lmin) / lmin > 0.9:
+                pex = partial_ratio(m, l) > 0.9
+            if not pex:
+                return ub, False
+        r = ratio(m, l)
+        # top-2 mean of {r, r[, r]} = r
+        pex = False
+        if min(c, lmin) / lmin > 0.9:  # token_diff = 0 ≤ 2 always holds
+            pex = partial_ratio(m, l) > 0.9
+        if not pex and participate:
+            pex = r > 0.9
+        return r, pex
+
     c = _common_chars(m, l)
     ub = 2.0 * c / (lm + ll_)
     tset = token_set_ratio(m, l) if participate else None

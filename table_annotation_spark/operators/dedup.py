@@ -78,8 +78,19 @@ FROM g GROUP BY fingerprint HAVING count(*) > 1 ORDER BY fingerprint
 
 
 def _doc_ngrams(d: DataFrame) -> DataFrame:
-    """(doc_id, gram) DISTINCT word-3-grams."""
-    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    """(doc_id, gram) DISTINCT word-3-grams.
+
+    The token array is bound as its own projection FIRST: the gram builder
+    is a higher-order ``transform`` (CodegenFallback — interpreted, no
+    common-subexpression elimination), so inlining the ``split`` expression
+    into ``size`` + three ``element_at`` calls re-splits the text per gram
+    position (O(tokens²) per doc). A separate non-cheap multi-referenced
+    alias survives CollapseProject, so ``split`` runs once per row."""
+    with_toks = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.split(F.lower(F.trim("text")), r"\s+").alias("toks"),
+    ).where(F.size("toks") >= NGRAM_N)
+    toks = F.col("toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - NGRAM_N),
         lambda i: F.concat_ws(
@@ -87,12 +98,8 @@ def _doc_ngrams(d: DataFrame) -> DataFrame:
             F.element_at(toks, i + 3),
         ),
     )
-    return (
-        d.where(F.size(toks) >= NGRAM_N)
-        .select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            F.explode(F.array_distinct(grams)).alias("gram"),
-        )
+    return with_toks.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
     )
 
 

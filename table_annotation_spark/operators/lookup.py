@@ -183,10 +183,34 @@ def candidate_pairs(
     corpora at scale.
     """
     m = mentions_distinct.select("mention_norm").distinct()
-    m_len = m.withColumn("m_len", F.length("mention_norm"))
 
-    exact = m_len.join(labels, m_len["mention_norm"] == labels["label_norm"]).select(
-        "mention_norm", "m_len", "entity", "label", "label_norm", "length", "origin", "pr"
+    # Dictionary-encode label rows (guide §8: shuffle a lightweight proxy,
+    # attach the payload once): the shared-key count, top-N window and pair
+    # dedupe below used to group/sort/shuffle the FULL 8-column string tuple
+    # three times (measured 13 of the 15 s of this stage at sf0.1) — now
+    # every heavy exchange carries (mention_norm, _lid) and the label
+    # attributes are joined back exactly once onto the pruned pair set.
+    # _lid = rank over the full attribute tuple, so the top-N tie-break
+    # below (_lid asc) refines the previous (entity, label_norm) order
+    # deterministically. The single-task ordering window is bounded by the
+    # label-index size (same posture as the pipeline's table_id dictionary);
+    # the lazy checkpoint pins one id assignment for all consumers.
+    lbl = _sckpt(
+        labels.select("entity", "label", "label_norm", "length", "origin", "pr")
+        .distinct()
+        .withColumn(
+            "_lid",
+            F.row_number().over(
+                Window.orderBy(
+                    "entity", "label_norm", "origin", "label", "length", "pr"
+                )
+            ),
+        )
+    )
+    lbl_n = lbl.select("_lid", "label_norm", "length")
+
+    exact = m.join(lbl_n, m["mention_norm"] == lbl_n["label_norm"]).select(
+        "mention_norm", "_lid"
     )
 
     sizes = [3, 6] if multi_resolution else [3]
@@ -197,12 +221,12 @@ def candidate_pairs(
         # it catch mentions whose trigrams are ALL hot without re-admitting
         # the trigram skew
         cap = None if max_gram_df is None else max_gram_df * (16 if n == 6 else 1)
-        mg = m_len.select(
-            "mention_norm", "m_len",
+        mg = m.select(
+            "mention_norm",
             F.explode(_grams(F.col("mention_norm"), n=n)).alias("gram"),
         )
-        lg = labels.select(
-            "entity", "label", "label_norm", "length", "origin", "pr",
+        lg = lbl_n.select(
+            "_lid", "length",
             F.explode(_grams(F.col("label_norm"), n=n)).alias("gram"),
         )
         if cap is not None:
@@ -215,15 +239,11 @@ def candidate_pairs(
             lg = lg.join(bcast(hot), "gram", "left_anti")
         grammed_parts.append(
             mg.join(lg, "gram")
-            .drop("gram")
             .where(
-                (F.col("length") >= 0.25 * F.col("m_len"))
-                & (F.col("length") <= 4 * F.col("m_len"))
+                (F.col("length") >= 0.25 * F.length("mention_norm"))
+                & (F.col("length") <= 4 * F.length("mention_norm"))
             )
-            .select(
-                "mention_norm", "m_len", "entity", "label", "label_norm",
-                "length", "origin", "pr",
-            )
+            .select("mention_norm", "_lid")
         )
     grammed = grammed_parts[0]
     for part in grammed_parts[1:]:
@@ -235,18 +255,28 @@ def candidate_pairs(
         # true match shares the most keys by construction; junk candidates
         # admitted through one mid-frequency gram drop out here instead of
         # burning UDF time. Exact-path hits are never pruned.
-        cols = ["mention_norm", "m_len", "entity", "label", "label_norm",
-                "length", "origin", "pr"]
-        counted = grammed.groupBy(*cols).agg(F.count(F.lit(1)).alias("_shared"))
+        # One upfront exchange on mention_norm serves BOTH the count groupBy
+        # (clustering on a key subset is satisfied) and the ranking window —
+        # previously each ran its own full-width exchange.
+        counted = (
+            grammed.repartition("mention_norm")
+            .groupBy("mention_norm", "_lid")
+            .agg(F.count(F.lit(1)).alias("_shared"))
+        )
         w = Window.partitionBy("mention_norm").orderBy(
-            F.desc("_shared"), F.asc("entity"), F.asc("label_norm")
+            F.desc("_shared"), F.asc("_lid")
         )
         grammed = (
             counted.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= max_candidates_per_mention)
-            .select(*cols)
+            .select("mention_norm", "_lid")
         )
-    return exact.unionByName(grammed).distinct()
+    ids = exact.unionByName(grammed).distinct()
+    return ids.join(bcast(lbl), "_lid").select(
+        "mention_norm",
+        F.length("mention_norm").alias("m_len"),
+        "entity", "label", "label_norm", "length", "origin", "pr",
+    )
 
 
 def score_candidates(
