@@ -217,14 +217,20 @@ def canonicalize(
         .where(F.col("rep").isNotNull())
         .select("entity", "rep")
     )
+    # ent_map is bounded by the entities inside merge components (tiny next
+    # to the triple stream) but derives from checkpointed CC labels with no
+    # stats — without the size-gated hint both remap joins sort-merge the
+    # full triple stream (guide §3.1; large posture: AQE decides instead)
+    from ..session import bcast
+
     t = (
         triples.join(
-            ent_map.withColumnRenamed("entity", "subj").withColumnRenamed("rep", "subj_rep"),
+            bcast(ent_map.withColumnRenamed("entity", "subj").withColumnRenamed("rep", "subj_rep")),
             "subj",
             "left",
         )
         .join(
-            ent_map.withColumnRenamed("entity", "obj").withColumnRenamed("rep", "obj_rep"),
+            bcast(ent_map.withColumnRenamed("entity", "obj").withColumnRenamed("rep", "obj_rep")),
             "obj",
             "left",
         )

@@ -203,14 +203,19 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
-    toks = _tok_expr()
+    # token array bound as its own projection first: the transform lambda is
+    # interpreted (CodegenFallback), so an inlined split() re-splits the text
+    # per bigram position — O(tokens²) per doc (same fix as dedup._doc_ngrams)
+    with_toks = d.select("lang", _tok_expr().alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    toks = F.col("toks")
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
         lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
     )
     g = (
-        d.where(F.size(toks) >= 2)
-        .select("lang", F.explode(bigrams).alias("bigram"))
+        with_toks.select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
@@ -266,14 +271,18 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_distinct.cast("bigint").alias("n_distinct_tokens"),
         F.greatest(n_tokens - 1, F.lit(0)).cast("bigint").alias("n_bigrams"),
     )
+    # bound token-array projection before the interpreted transform lambda —
+    # same O(tokens²) re-split fix as ngram_topk / dedup._doc_ngrams
+    bg_toks = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), _tok_expr().alias("toks")
+    ).where(F.size("toks") >= 2)
+    tk = F.col("toks")
     bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        F.sequence(F.lit(0), F.size(tk) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(tk, i + 1), F.element_at(tk, i + 2)),
     )
     top = (
-        d.where(F.size(toks) >= 2)
-        .select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                F.explode(bigrams).alias("bigram"))
+        bg_toks.select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("doc_id")

@@ -73,7 +73,24 @@ def tune_for_input_size(spark: SparkSession, approx_rows: int) -> None:
         elif approx_rows < 50_000:
             parts = min(16, max(4, approx_rows // 2000))
         else:
-            parts = 2 * spark.sparkContext.defaultParallelism
+            # Partition count derived from INPUT SIZE, capped by core count —
+            # not a cores-only constant (guide §2: make partitioning
+            # scale-adaptive; a constant tuned for either local mode or the
+            # cluster is wrong at the other size). The engine's row-scale
+            # intermediates run ~5-15× the input rows, and below ~12k input
+            # rows per partition the per-task floor (scheduling, shuffle
+            # block count, checkpoint block management) dominates compute:
+            # measured on the sf0.1 suite flagship (165k input rows,
+            # local[32]) 64 parts → 118.6 s wall, 32 → 105.0, 16 → 91.9,
+            # 12 → 85.3, 8 → 87.0; the r3 "2×cores" calibration was taken
+            # at replicate-4 (~660k rows), where this formula lands at ~55 —
+            # consistent with that measurement (64 ≈ best there). ≥1M rows
+            # takes the AQE branch below, where runtime coalescing owns the
+            # problem.
+            parts = min(
+                2 * spark.sparkContext.defaultParallelism,
+                max(8, approx_rows // 12_000),
+            )
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         # upfront wave-materialization of the annotation input frames only
         # pays above fixture scale — at kB inputs the extra jobs ARE the
