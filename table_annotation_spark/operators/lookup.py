@@ -314,8 +314,18 @@ def score_candidates(
         .withColumn("pexact", F.col("_fp.pexact"))
         .drop("_fp")
         .withColumn("fuzzy_w", F.col("fuzzy") * origin_w)
+        # pruned to what the downstream branches read (origin is folded into
+        # fuzzy_w; m_len/length/raw fuzzy die here) — every retained column
+        # is serialized into the checkpoint blocks at pair scale
+        .select(
+            "mention_norm", "entity", "label", "label_norm", "pr",
+            "pexact", "fuzzy_w",
+        )
         # lazy: truncate the plan under the UDF without a blocking job; the
-        # four downstream branches share the one checkpointed RDD
+        # four downstream branches share the one checkpointed RDD. The
+        # checkpoint preserves the mention_norm partitioning, which the
+        # threshold window, per-entity aggregate and final windows below all
+        # reuse — zero further exchanges of the pair-scale frame.
         .transform(_sckpt)
     )
 
@@ -341,9 +351,14 @@ def score_candidates(
         .groupBy("mention_norm", "entity", "label_norm")
         .agg(F.sum("idf").alias("lex_raw"))
     )
-    scored = scored.join(lex, ["mention_norm", "entity", "label_norm"], "left").fillna(
-        {"lex_raw": 0.0}
-    )
+    # size-gated broadcast: lex is bounded by pairs with ≥1 overlapping
+    # token (tiny on real corpora), and a sort-merge join here would
+    # re-partition the pair-scale frame by (mention, entity, label_norm),
+    # breaking the mention_norm partitioning chain that the aggregate and
+    # windows below reuse (large posture: AQE picks the strategy)
+    scored = scored.join(
+        bcast(lex), ["mention_norm", "entity", "label_norm"], "left"
+    ).fillna({"lex_raw": 0.0})
 
     # per-entity max over its labels (es_lookup.py:148-152): keep best label
     per_entity = scored.groupBy("mention_norm", "entity").agg(
