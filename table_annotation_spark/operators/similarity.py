@@ -21,35 +21,53 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _cosine(a, b):
-    dot = F.aggregate(
+def _dot(a, b):
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    def norm(c):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+
+
+def _norm(c):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-    return dot / (norm(a) * norm(b))
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for the first N_QUERIES vectors.
-    Broadcast the (small) query side; scan the corpus once."""
+    Broadcast the (small) query side; scan the corpus once. Norms are
+    hoisted out of the pair loop: ||q|| once per query row and ||c|| once
+    per corpus row instead of per pair — the higher-order aggregate is
+    interpreted per element, so each hoisted norm saves 64 interpreted
+    ops x N_QUERIES per corpus row; cos = dot/(||q||*||c||) is the same
+    float expression on the same values, so scores are bit-identical."""
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
+    )
     j = (
         F.broadcast(q).crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", _cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn(
+            "cos",
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -95,18 +113,26 @@ def _bucket(emb):
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN: candidates restricted to the query's sign bucket, then
-    exact cosine re-rank within the bucket (IVF-style two-stage search)."""
+    exact cosine re-rank within the bucket (IVF-style two-stage search).
+    Norms hoisted per side as in ``ann_bruteforce_topk`` (bit-identical
+    scores)."""
     e = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("embedding")))
     q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        "bucket", _norm(F.col("embedding")).alias("q_norm"),
     )
     c = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "bucket"
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"),
+        "bucket", _norm(F.col("embedding")).alias("c_norm"),
     )
     j = (
         q.join(c, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", _cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn(
+            "cos",
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -166,6 +192,42 @@ KMEANS_ROUND = 4     # distances rounded before ranking: double-precision
                      # tie-break — deterministic on both sides
 
 
+def _dist_structs(cents_col, round_digits: int = KMEANS_ROUND):
+    """(dist, clabel) struct per centroid, computed row-locally against the
+    row's ``embedding`` — same distance expression and rounding grid as the
+    exploded form it replaces, so argmin results are identical."""
+    return F.transform(
+        cents_col,
+        lambda c: F.struct(
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("embedding"),
+                            c["cvec"],
+                            lambda a, b: (a.cast("double") - b)
+                            * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ),
+                round_digits,
+            ).alias("dist"),
+            c["clabel"].alias("clabel"),
+        ),
+    )
+
+
+def _cents_one_row(cent: DataFrame) -> DataFrame:
+    """k centroid rows → ONE row holding array<struct(clabel, cvec)> —
+    broadcast as a single-row relation so the E step is a row-local
+    array_min instead of a corpus x k explode + regrouping exchange."""
+    return cent.agg(
+        F.array_sort(F.collect_list(F.struct("clabel", "cvec"))).alias("cents")
+    )
+
+
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One full Lloyd iteration: per-label mean centroids (the M step over
     the current partition) then nearest-centroid reassignment (the E
@@ -174,38 +236,22 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ann_lsh_topk`'s bucketed search at 100 TB.
 
     Scale posture: the M step is ONE map-side-combinable aggregate (64
-    avg columns, JVM-side); k centroids are tiny and broadcast for the E
-    step, so reassignment is a broadcast-nested-loop of corpus x k. The
-    argmin is min(struct(dist, clabel)) under groupBy(vec_id) — partial
-    (map-side) aggregation over rows that carry only (vec_id, label,
-    clabel, dist), never a window sort and never a shuffle of the
-    embedding column (test_plans pins: no Window node in the plan)."""
+    avg columns, JVM-side); the k centroids collapse to a single
+    broadcast row (array of (clabel, cvec) structs), and the E step is a
+    ROW-LOCAL argmin — array_min over (dist, clabel) structs — so the
+    corpus is scanned once with no k-way row explosion, no Window, and no
+    regrouping exchange: the embedding column never shuffles at all (the
+    only exchanges left are the k-group centroid aggregate and the tiny
+    output contingency aggregate). array_min over (dist, clabel) is
+    exactly the old min(struct(dist, clabel)) tie-break."""
     e = _emb(spark, sf_dir)
     cent = e.groupBy(F.col("label").alias("clabel")).agg(
         F.array(
             *[F.avg(F.col("embedding")[i]) for i in range(KMEANS_DIM)]
         ).alias("cvec")
     )
-    dist = F.round(
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    "embedding",
-                    "cvec",
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        ),
-        KMEANS_ROUND,
-    )
-    scored = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "label", "clabel", dist.alias("dist"))
-    )
-    best = scored.groupBy("vec_id", "label").agg(
-        F.min(F.struct("dist", "clabel")).alias("m")
+    best = e.crossJoin(F.broadcast(_cents_one_row(cent))).select(
+        "label", F.array_min(_dist_structs(F.col("cents"))).alias("m")
     )
     return (
         best.groupBy(
@@ -266,13 +312,16 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture (what Spark MLlib's KMeans itself does): centroids are
     k×dim — genuinely tiny at ANY corpus size — so each M step collects k
-    rows to the driver and rebroadcasts them as a literal plan; each
-    iteration is then ONE corpus scan (broadcast-nested-loop × k, min-struct
-    argmin, map-side-combinable avg — only k×partitions partial rows ever
-    shuffle). No Window, the embedding column never shuffles, no lineage
-    accretion across iterations (each iteration reads the literal
-    centroids, not the previous plan). Empty clusters drop out (standard
-    Lloyd degeneracy; both engines agree since assignments agree)."""
+    rows to the driver and re-embeds them as a LITERAL array of
+    (clabel, cvec) structs; each iteration is then ONE corpus scan with a
+    ROW-LOCAL array_min argmin (identical (dist, clabel) tie-break as the
+    old exploded min-struct form) — no join at all, no Window, no k-way
+    row explosion, and the embedding column never shuffles (the M step's
+    avg is map-side combined, so only k×partitions partial rows move).
+    No lineage accretion across iterations (each iteration reads the
+    literal centroids, not the previous plan). Empty clusters drop out
+    (standard Lloyd degeneracy; both engines agree since assignments
+    agree)."""
     e = _emb(spark, sf_dir)
 
     def m_step(assigned: DataFrame) -> list:
@@ -292,33 +341,20 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def e_step(cent_rows: list) -> DataFrame:
-        cent = spark.createDataFrame(
-            cent_rows, "clabel bigint, cvec array<double>"
-        )
-        dist = F.round(
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(
-                        "embedding",
-                        "cvec",
-                        lambda a, b: (a.cast("double") - b)
-                        * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
+        cents = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["clabel"])).cast("bigint").alias("clabel"),
+                    F.array(
+                        *[F.lit(float(x)) for x in r["cvec"]]
+                    ).alias("cvec"),
                 )
-            ),
-            KMEANS_ROUND,
+                for r in sorted(cent_rows, key=lambda r: r["clabel"])
+            ]
         )
-        scored = e.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "label", "embedding", "clabel", dist.alias("dist")
-        )
-        best = scored.groupBy("vec_id", "label").agg(
-            F.min(F.struct("dist", "clabel")).alias("m"),
-            F.first("embedding").alias("embedding"),
-        )
-        return best.select(
-            "vec_id", "label", F.col("m.clabel").alias("clabel"), "embedding"
+        return e.select(
+            "vec_id", "label", "embedding",
+            F.array_min(_dist_structs(cents))["clabel"].alias("clabel"),
         )
 
     # seed: per-label means (same deterministic seeding as kmeans_assign)
@@ -413,68 +449,56 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF_NPROBE nearest lists and re-ranks EXACT cosine within those lists
     only.
 
-    Scale posture: centroids are k×dim (tiny — broadcast); building the
-    inverted lists is one corpus scan (broadcast-NLJ × k, min-struct
-    argmin, embedding never shuffled — same plan as kmeans_assign); the
-    probe join is broadcast(queries × nprobe) against the lists, so the
-    corpus is never self-joined and candidates are bounded by the probed
-    lists' sizes. Faiss IVF-Flat semantics re-expressed as DataFrame ops."""
+    Scale posture: the k centroids collapse to ONE broadcast row (array of
+    (clabel, cvec) structs); building the inverted lists is one corpus
+    scan with a ROW-LOCAL array_min argmin (no k-way explode, no Window,
+    no regrouping exchange — the embedding column never shuffles), and
+    each query's nprobe lists come from slice(array_sort(dists)) on the
+    same row-local struct array (identical (dist, clabel) ordering as the
+    old row_number ranking); the probe join is broadcast(queries × nprobe)
+    against the lists, so the corpus is never self-joined and candidates
+    are bounded by the probed lists' sizes. Re-rank norms hoisted per side
+    (bit-identical cos). Faiss IVF-Flat semantics as DataFrame ops."""
     e = _emb(spark, sf_dir)
-    cent = F.broadcast(
-        e.groupBy(F.col("label").cast("bigint").alias("clabel")).agg(
-            F.array(
-                *[
-                    F.round(F.avg(F.col("embedding")[i]), KMEANS_CENT_ROUND)
-                    for i in range(KMEANS_DIM)
-                ]
-            ).alias("cvec")
-        )
+    cent = e.groupBy(F.col("label").cast("bigint").alias("clabel")).agg(
+        F.array(
+            *[
+                F.round(F.avg(F.col("embedding")[i]), KMEANS_CENT_ROUND)
+                for i in range(KMEANS_DIM)
+            ]
+        ).alias("cvec")
     )
-    dist = F.round(
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    "embedding",
-                    "cvec",
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        ),
-        KMEANS_ROUND,
+    base = e.crossJoin(F.broadcast(_cents_one_row(cent)))
+    dists = _dist_structs(F.col("cents"))
+    inv = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.array_min(dists)["clabel"].alias("list_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
     )
-    scored = e.crossJoin(cent).select(
-        "vec_id", "embedding", "clabel", dist.alias("dist")
-    )
-    inv = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.min(F.struct("dist", "clabel")).alias("m"),
-            F.first("embedding").alias("c_emb"),
-        )
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("m.clabel").alias("list_id"),
-            "c_emb",
-        )
-    )
-    wq = Window.partitionBy("vec_id").orderBy("dist", "clabel")
     probes = (
-        scored.where(F.col("vec_id") < N_QUERIES)
-        .withColumn("pr", F.row_number().over(wq))
-        .where(F.col("pr") <= IVF_NPROBE)
+        base.where(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            F.col("clabel").alias("list_id"),
+            _norm(F.col("embedding")).alias("q_norm"),
+            F.explode(
+                F.slice(F.array_sort(dists), 1, IVF_NPROBE)
+            ).alias("pr"),
+        )
+        .select(
+            "query_id", "q_emb", "q_norm", F.col("pr.clabel").alias("list_id")
         )
     )
     j = (
         F.broadcast(probes)
         .join(inv, "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", _cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn(
+            "cos",
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
