@@ -283,6 +283,162 @@ def is_partial_exact(mention: str, label: str) -> bool:
     return False
 
 
+def _popcount64(v):
+    """Vectorized SWAR popcount over a uint64 ndarray."""
+    import numpy as np
+
+    v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    v = (v & np.uint64(0x3333333333333333)) + (
+        (v >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def fuzzy_pexact_batch(mentions, labels, min_fuzzy: float = 0.70):
+    """Batch (mixed_fuzzy_score, is_partial_exact) — the vectorized twin of
+    ``lookup_fuzzy_pexact`` for the lookup UDF (guide-§4.2 shape: the Python
+    boundary hands whole Arrow batches to NumPy instead of looping rows).
+
+    Rows where BOTH sides are non-empty single-token ASCII strings ≤63 chars
+    (the dominant lookup shape) run the bit-parallel LCS on uint64 lanes:
+    per-row char→position-mask matrices, one vectorized mask update per text
+    position, SWAR popcount — identical integer LCS, identical float
+    formulas evaluated in binary64, so every returned (fuzzy, pexact) is
+    BIT-EQUAL to the scalar kernel's (pinned by tests). Everything else —
+    multi-token, >63 chars, non-ASCII, empty, equal — falls back to the
+    scalar ``lookup_fuzzy_pexact`` row by row. The one scalar escape inside
+    the vector path is ``pr_gate`` rows with unequal lengths, whose
+    partial_ratio needs the sliding window (rare: the gate demands >90 %
+    multiset containment of the shorter side)."""
+    import numpy as np
+
+    n = len(mentions)
+    fuzzy = np.empty(n, dtype=np.float64)
+    pexact = np.zeros(n, dtype=bool)
+    idx: list[int] = []
+    ms: list[bytes] = []
+    ls: list[bytes] = []
+    for i in range(n):
+        m = mentions[i] or ""
+        lb = labels[i] or ""
+        if (
+            m != lb
+            and m
+            and lb
+            and len(m) <= 63
+            and len(lb) <= 63
+            and " " not in m
+            and " " not in lb
+            and m.isascii()
+            and lb.isascii()
+        ):
+            idx.append(i)
+            ms.append(m.encode())
+            ls.append(lb.encode())
+        else:
+            fuzzy[i], pexact[i] = lookup_fuzzy_pexact(m, lb, min_fuzzy)
+    if not idx:
+        return fuzzy, pexact
+
+    k = len(idx)
+    lm = np.fromiter((len(b) for b in ms), dtype=np.int64, count=k)
+    ll = np.fromiter((len(b) for b in ls), dtype=np.int64, count=k)
+
+    # char histograms (ASCII ⇒ 128 lanes; lengths ≤63 fit uint8)
+    max_m, max_l = int(lm.max()), int(ll.max())
+    mmat = np.frombuffer(
+        b"".join(b.ljust(max_m, b"\x00") for b in ms), dtype=np.uint8
+    ).reshape(k, max_m)
+    lmat = np.frombuffer(
+        b"".join(b.ljust(max_l, b"\x00") for b in ls), dtype=np.uint8
+    ).reshape(k, max_l)
+    rows = np.arange(k)
+    hm = np.zeros((k, 128), dtype=np.uint8)
+    hl = np.zeros((k, 128), dtype=np.uint8)
+    # within one column each row index appears once, so plain fancy += is a
+    # safe (and faster) scatter than ufunc.at
+    for j in range(max_m):
+        col = mmat[:, j]
+        v = col != 0
+        hm[rows[v], col[v]] += 1
+    for j in range(max_l):
+        col = lmat[:, j]
+        v = col != 0
+        hl[rows[v], col[v]] += 1
+    # multiset intersection size; lane 0 (padding) is zero in both
+    c = np.minimum(hm, hl).sum(axis=1).astype(np.int64)
+
+    total = lm + ll
+    ub = 2.0 * c / total
+    lmin = np.minimum(lm, ll)
+    pr_gate = np.minimum(c, lmin) / lmin > 0.9
+    ratio_q = lm / ll
+    participate = (0.5 < ratio_q) & (ratio_q < 2.0)
+    below = ub < min_fuzzy
+    eq_len = lm == ll
+
+    # pr_gate with unequal lengths needs the true sliding partial_ratio —
+    # scalar fallback for the whole row (keeps this path exact)
+    scalar_rows = pr_gate & ~eq_len
+    # ratio needed when the pair can survive, or when the equal-length
+    # partial check (partial == ratio there) must run
+    need_r = (~below | (pr_gate & eq_len)) & ~scalar_rows
+
+    r = np.zeros(k, dtype=np.float64)
+    if need_r.any():
+        sub = np.flatnonzero(need_r)
+        ks = len(sub)
+        wdt = max(max_m, max_l)
+        mm = np.zeros((ks, wdt), dtype=np.uint8)
+        mm[:, :max_m] = mmat[sub]
+        lmt = np.zeros((ks, wdt), dtype=np.uint8)
+        lmt[:, :max_l] = lmat[sub]
+        a_is_m = (lm[sub] <= ll[sub])[:, None]
+        pat = np.where(a_is_m, mm, lmt)      # shorter side = DP pattern
+        txt = np.where(a_is_m, lmt, mm)
+        la = np.minimum(lm[sub], ll[sub]).astype(np.uint64)
+        srows = np.arange(ks)
+        masks = np.zeros((ks, 128), dtype=np.uint64)
+        for j in range(int(la.max())):
+            col = pat[:, j]
+            v = col != 0
+            # one row index at most once per column: plain fancy |= scatter
+            masks[srows[v], col[v]] |= np.uint64(1) << np.uint64(j)
+        width = (np.uint64(1) << la) - np.uint64(1)
+        vbits = width.copy()
+        for j in range(int(np.maximum(lm[sub], ll[sub]).max())):
+            col = txt[:, j]
+            mj = masks[srows, col]
+            u = vbits & mj
+            nv = ((vbits + u) | (vbits & ~mj)) & width
+            vbits = np.where(col != 0, nv, vbits)
+        lcs = la.astype(np.int64) - _popcount64(vbits).astype(np.int64)
+        dist = lm[sub] + ll[sub] - 2 * lcs
+        r[sub] = (total[sub] - dist) / total[sub]
+
+    # assemble per the scalar single-token control flow: below-floor rows
+    # return (ub, False) unless the equal-length partial check (== r there)
+    # fires, in which case they fall through to (r, True); above-floor rows
+    # always return r with pex from the pr_gate/participate branches
+    pex_hit = pr_gate & eq_len & (r > 0.9)
+    out_f = np.where(below & ~pex_hit, ub, r)
+    out_p = np.where(
+        below, pex_hit, pex_hit | (participate & (r > 0.9))
+    )
+
+    gi = np.asarray(idx)
+    fuzzy[gi] = out_f
+    pexact[gi] = out_p
+    if scalar_rows.any():
+        for j in np.flatnonzero(scalar_rows):
+            i = idx[j]
+            fuzzy[i], pexact[i] = lookup_fuzzy_pexact(
+                mentions[i] or "", labels[i] or "", min_fuzzy
+            )
+    return fuzzy, pexact
+
+
 def lookup_fuzzy_pexact(mention: str, label: str, min_fuzzy: float = 0.70):
     """Fused (mixed_fuzzy_score, is_partial_exact) for the lookup UDF —
     inputs MUST already be lookup-normalized (lowercase, single-space,

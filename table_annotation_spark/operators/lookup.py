@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..session import bcast, ckpt as _sckpt
 
-from ..functions.similarity import lookup_fuzzy_pexact
+from ..functions.similarity import fuzzy_pexact_batch
 
 FUZZY_FACTOR = 0.7          # 1 - PR_FACTOR - LEX_FACTOR (settings.py:41,49)
 PR_FACTOR = 0.1
@@ -128,22 +128,18 @@ def _grams(col, n: int = 3):
 
 
 def _fuzzy_pexact_udf():
-    """ONE Arrow pass computing (fuzzy, pexact) fused — the two scores share
-    their token/DP work inside ``lookup_fuzzy_pexact`` (and its sound
-    upper-bound fast path skips all DP for provably-sub-threshold pairs), and
-    a single struct UDF halves the Arrow serialization vs two UDFs."""
+    """ONE Arrow pass computing (fuzzy, pexact) fused, batch-vectorized —
+    ``fuzzy_pexact_batch`` runs the bit-parallel LCS as NumPy uint64 lane
+    math over the whole Arrow batch for the dominant single-token-ASCII
+    shape (bit-equal to the scalar kernel, which still handles multi-token/
+    long/non-ASCII rows), and a single struct UDF halves the Arrow
+    serialization vs two UDFs."""
 
     @F.pandas_udf("fuzzy double, pexact boolean")
     def fp(mention: pd.Series, label: pd.Series) -> pd.DataFrame:
-        cache: dict[tuple[str, str], tuple[float, bool]] = {}
-        fuzzies, pexacts = [], []
-        for m, lb in zip(mention, label):
-            key = (m, lb)
-            hit = cache.get(key)
-            if hit is None:
-                hit = cache[key] = lookup_fuzzy_pexact(m or "", lb or "", MIN_FUZZY)
-            fuzzies.append(hit[0])
-            pexacts.append(hit[1])
+        fuzzies, pexacts = fuzzy_pexact_batch(
+            mention.to_numpy(), label.to_numpy(), MIN_FUZZY
+        )
         return pd.DataFrame({"fuzzy": fuzzies, "pexact": pexacts})
 
     return fp

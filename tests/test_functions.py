@@ -198,3 +198,59 @@ class TestBitParallelKernel:
         from table_annotation_spark.operators import lookup as lkmod
 
         check()
+
+    def test_batch_kernel_bit_equal_to_scalar(self):
+        """fuzzy_pexact_batch (the NumPy uint64-lane LCS used by the lookup
+        UDF) must return BIT-EQUAL (fuzzy, pexact) to the scalar kernel for
+        every row — vectorized rows and every fallback class (multi-token,
+        >63 chars, non-ASCII, empty, equal, containment/pr_gate shapes)."""
+        import random
+        import string
+
+        import numpy as np
+
+        rng = random.Random(7)
+        alph = string.ascii_lowercase + string.digits + "#-."
+        cases = []
+        for _ in range(400):
+            cases.append((
+                f"kustomer#{rng.randint(0, 999999):09d}",
+                f"customer#{rng.randint(0, 999999):09d}",
+            ))
+        for _ in range(400):
+            cases.append((
+                "".join(rng.choice(alph) for _ in range(rng.randint(1, 70))),
+                "".join(rng.choice(alph) for _ in range(rng.randint(1, 70))),
+            ))
+        for _ in range(300):  # near-identical: pexact branches
+            a = "".join(rng.choice(alph) for _ in range(rng.randint(5, 30)))
+            b = list(a)
+            for _ in range(rng.randint(0, 2)):
+                p = rng.randrange(len(b))
+                b[p] = rng.choice(alph)
+            cases.append((a, "".join(b)))
+        for _ in range(200):  # containment: unequal-length pr_gate fallback
+            a = "".join(rng.choice(alph) for _ in range(rng.randint(5, 20)))
+            b = a + "".join(rng.choice(alph) for _ in range(rng.randint(1, 10)))
+            cases.append((a, b) if rng.random() < 0.5 else (b, a))
+        for _ in range(200):  # multi-token → scalar fallback
+            cases.append((
+                " ".join(
+                    "".join(rng.choice(alph) for _ in range(rng.randint(1, 8)))
+                    for _ in range(rng.randint(1, 4))
+                ),
+                " ".join(
+                    "".join(rng.choice(alph) for _ in range(rng.randint(1, 8)))
+                    for _ in range(rng.randint(1, 4))
+                ),
+            ))
+        cases += [("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+                  ("café", "cafe"), ("a" * 80, "a" * 79), ("x", "y"),
+                  ("a b", "ab"), ("ab", "a b")]
+
+        ms = np.array([c[0] for c in cases], dtype=object)
+        ls = np.array([c[1] for c in cases], dtype=object)
+        f, p = sim.fuzzy_pexact_batch(ms, ls, 0.70)
+        for i, (a, b) in enumerate(cases):
+            ef, ep = sim.lookup_fuzzy_pexact(a, b, 0.70)
+            assert f[i] == ef and bool(p[i]) == ep, (a, b, f[i], p[i], ef, ep)
