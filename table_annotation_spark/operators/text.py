@@ -619,7 +619,6 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("gram"),
         )
-        .distinct()
     )
     is_bench = F.col("doc_id") % DECON_MOD == DECON_REM
     bench = (
@@ -627,6 +626,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram", F.col("doc_id").alias("bench_doc"))
         .distinct()
     )
+    # corpus side deliberately NOT distinct-ed: both output aggregates are
+    # countDistinct, so duplicate (doc_id, gram) rows cannot change the
+    # result, and dropping the dedupe removes a full corpus-gram exchange —
+    # the broadcast bench join filters the stream before it ever shuffles
     return (
         grams.where(~is_bench)
         .join(F.broadcast(bench), "gram")
